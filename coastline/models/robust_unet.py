@@ -1,0 +1,72 @@
+"""Robust U-Net — the paper's method, rebuilt TPU-native.
+
+Capability parity with `/root/reference/Main_Final.py:226-321`:
+4-level encoder of attention-augmented residual blocks (64->128->256->512,
+channel dropout .1/.1/.2/.2) with 2x2 max-pool downsampling; bottleneck =
+max-pool + 4-branch dilated block (512->1024) + residual block (1024, .3);
+decoder of k2/s2 transposed convs with attention-gated skips and residual
+blocks (.2/.2/.1/.1); 1x1 output conv. Conv weights use kaiming-normal
+fan_out; BN gamma=1/beta=0 (`Main_Final.py:282-288`).
+
+TPU-first differences from the reference (not a translation):
+  * NHWC layout end-to-end; compute dtype is configurable (bfloat16 feeds
+    the MXU at 2x fp32 throughput; params/BN stats stay float32).
+  * The final sigmoid is applied only when `return_logits=False`; training
+    uses the logits head with a fused sigmoid-BCE (same math as the
+    reference's BCELoss-on-probs, numerically stable, one fewer HBM
+    round-trip).
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from coastline.ops.blocks import AttentionGate, DilatedBlock, ResidualBlock
+from coastline.ops.primitives import Conv, ConvTranspose, max_pool
+
+
+class RobustUNet(nn.Module):
+    n_classes: int = 1
+    base: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        b, dt, init = self.base, self.dtype, "kaiming_out"
+        x = x.astype(dt)
+
+        # Encoder
+        x1 = ResidualBlock(b, 0.1, init, dt)(x, train)            # (H, W, 64)
+        x2 = ResidualBlock(b * 2, 0.1, init, dt)(max_pool(x1), train)   # /2
+        x3 = ResidualBlock(b * 4, 0.2, init, dt)(max_pool(x2), train)   # /4
+        x4 = ResidualBlock(b * 8, 0.2, init, dt)(max_pool(x3), train)   # /8
+
+        # Bottleneck with dilated multi-scale context
+        x5 = DilatedBlock(b * 16, init, dt)(max_pool(x4), train)         # /16
+        x5 = ResidualBlock(b * 16, 0.3, init, dt)(x5, train)
+
+        # Decoder with attention-gated skips
+        d = ConvTranspose(b * 8, 2, 2, dtype=dt)(x5)
+        skip = AttentionGate(b * 4, init, dt)(d, x4, train)
+        d = ResidualBlock(b * 8, 0.2, init, dt)(
+            jnp.concatenate([skip, d], axis=-1), train)
+
+        d = ConvTranspose(b * 4, 2, 2, dtype=dt)(d)
+        skip = AttentionGate(b * 2, init, dt)(d, x3, train)
+        d = ResidualBlock(b * 4, 0.2, init, dt)(
+            jnp.concatenate([skip, d], axis=-1), train)
+
+        d = ConvTranspose(b * 2, 2, 2, dtype=dt)(d)
+        skip = AttentionGate(b, init, dt)(d, x2, train)
+        d = ResidualBlock(b * 2, 0.1, init, dt)(
+            jnp.concatenate([skip, d], axis=-1), train)
+
+        d = ConvTranspose(b, 2, 2, dtype=dt)(d)
+        skip = AttentionGate(b // 2, init, dt)(d, x1, train)
+        d = ResidualBlock(b, 0.1, init, dt)(
+            jnp.concatenate([skip, d], axis=-1), train)
+
+        logits = Conv(self.n_classes, 1, init=init, dtype=dt)(d).astype(jnp.float32)
+        if return_logits:
+            return logits
+        return jax.nn.sigmoid(logits)
