@@ -166,10 +166,12 @@ def max_pool(x, window: Ints = 2, stride: Optional[Ints] = None, padding: Ints =
     wh, ww = _pair(window)
     sh, sw = _pair(stride if stride is not None else window)
     ph, pw = _pair(padding)
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # NB: init must be a Python scalar, not a traced array — a traced init
+    # breaks reduce_window's autodiff under lax.scan.
+    neg_inf = -np.inf if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
-        jnp.asarray(neg_inf, x.dtype),
+        neg_inf,
         lax.max,
         (1, wh, ww, 1),
         (1, sh, sw, 1),
@@ -183,7 +185,7 @@ def avg_pool(x, window: Ints = 2, stride: Optional[Ints] = None, padding: Ints =
     ph, pw = _pair(padding)
     summed = lax.reduce_window(
         x,
-        jnp.asarray(0, x.dtype),
+        0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0,
         lax.add,
         (1, wh, ww, 1),
         (1, sh, sw, 1),

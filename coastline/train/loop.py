@@ -1,0 +1,326 @@
+"""Jitted train/eval loops and the unified benchmark harness.
+
+Capability parity with `ModelEvaluator` (`/root/reference/Main_Final.py:
+513-668` and clones), redesigned for TPU:
+
+  * The reference re-decodes, re-rasterizes and re-normalizes every image on
+    host every epoch, syncs to host per image for metrics, and dispatches
+    op-by-op. Here the whole dataset lives in HBM as uint8; an epoch is ONE
+    `lax.scan` over gather-indexed batches with normalization, augmentation,
+    forward/backward, Adam update and metric reduction fused into a single
+    XLA program. Host sees one scalar bundle per epoch.
+  * Optimizer matches torch `Adam(lr, weight_decay=1e-4)` coupling exactly:
+    L2 term added to the gradient *before* the moment updates
+    (optax.add_decayed_weights -> scale_by_adam), then scaled by the
+    dynamic plateau-controlled learning rate carried in the train state.
+  * Per-partial-batch handling: torch DataLoader yields a short last batch;
+    here batches are fixed-shape (XLA requirement) with a validity mask —
+    losses are weighted and metrics gathered only for valid samples, so the
+    numbers match the reference protocol exactly.
+"""
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from coastline.data.pipeline import IMAGENET_MEAN, IMAGENET_STD, DeviceDataset
+from coastline.train.losses import bce_loss, cross_entropy_loss
+from coastline.train.lr import PlateauState, plateau_init, plateau_update
+from coastline.train.metrics import aggregate_metrics, per_image_metrics
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training protocol knobs, defaults = the comparison protocol
+    (`Main_Final.py:549-553,834`)."""
+
+    epochs: int = 20
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    batch_size: int = 2
+    eval_batch_size: int = 2
+    loss: str = "bce"  # bce (sigmoid models) | ce (2-class UNet)
+    plateau_on: str = "train"  # train (Main_Final/Extended) | val (comne/production)
+    plateau_patience: int = 5
+    plateau_factor: float = 0.5
+    threshold: float = 0.5
+    augment: bool = False
+    log_every: int = 5
+    seed: int = 0
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    plateau: PlateauState
+    rng: jnp.ndarray
+
+
+def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def normalize_images(u8_images):
+    """uint8 RGB -> ImageNet-normalized float32 (torchvision parity,
+    `Main_Final.py:697-701`)."""
+    x = u8_images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
+
+
+def create_train_state(model, config: TrainConfig, sample_shape=(1, 512, 512, 3)) -> TrainState:
+    rng = jax.random.PRNGKey(config.seed)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros(sample_shape, jnp.float32),
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config.weight_decay)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        plateau=plateau_init(config.lr),
+        rng=state_rng,
+    )
+
+
+def _compute_loss(model, config: TrainConfig, logits, masks, valid):
+    """Masked mean loss over valid samples only."""
+    w = valid.astype(jnp.float32)
+    denom = jnp.maximum(w.sum(), 1.0)
+    if config.loss == "ce":
+        logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(
+            logits.astype(jnp.float32), masks[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        per_img = (logz - picked).mean(axis=(1, 2))
+    else:
+        l = logits.astype(jnp.float32)
+        t = masks.astype(jnp.float32)
+        if l.ndim == 4 and t.ndim == 3:
+            t = t[..., None]
+        per = jnp.maximum(l, 0.0) - l * t + jnp.log1p(jnp.exp(-jnp.abs(l)))
+        per_img = per.mean(axis=tuple(range(1, per.ndim)))
+    return (per_img * w).sum() / denom
+
+
+def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] = None):
+    """Build a jitted epoch: lax.scan over gather-indexed fixed-shape batches."""
+    tx = make_optimizer(config.weight_decay)
+
+    def step(carry, batch_idx_valid, images, masks):
+        state = carry
+        idx, valid = batch_idx_valid
+        x_u8 = jnp.take(images, idx, axis=0)
+        y = jnp.take(masks, idx, axis=0)
+
+        rng = jax.random.fold_in(state.rng, state.step)
+        drop_rng, aug_rng = jax.random.split(rng)
+        x = x_u8.astype(jnp.float32) / 255.0
+        if augment_fn is not None:
+            x, y = augment_fn(aug_rng, x, y)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        x = (x - mean) / std
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                return_logits=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            return _compute_loss(model, config, out, y, valid), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        lr = state.plateau.lr
+        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+        state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return state, loss
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_epoch(state: TrainState, images, masks, idx, valid):
+        state, losses = jax.lax.scan(
+            lambda c, b: step(c, b, images, masks), state, (idx, valid)
+        )
+        return state, losses.mean()
+
+    return train_epoch
+
+
+def make_eval_epoch(model, config: TrainConfig):
+    """Jitted full-validation pass: loss + per-image metrics, all on device."""
+
+    def step(_, batch, params, batch_stats, images, masks):
+        idx, valid = batch
+        x = normalize_images(jnp.take(images, idx, axis=0))
+        y = jnp.take(masks, idx, axis=0)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=False,
+            return_logits=True,
+        )
+        loss = _compute_loss(model, config, logits, y, valid)
+        if config.loss == "ce":
+            probs = jax.nn.softmax(logits, axis=-1)[..., 1]
+        else:
+            probs = jax.nn.sigmoid(logits[..., 0] if logits.ndim == 4 else logits)
+        metrics = per_image_metrics(probs, y.astype(jnp.float32), config.threshold)
+        return None, (loss, metrics, valid)
+
+    @jax.jit
+    def eval_epoch(params, batch_stats, images, masks, idx, valid):
+        _, (losses, metrics, valids) = jax.lax.scan(
+            lambda c, b: step(c, b, params, batch_stats, images, masks),
+            None,
+            (idx, valid),
+        )
+        flat_valid = valids.reshape(-1)
+        flat = {k: v.reshape(-1) for k, v in metrics.items()}
+        n = jnp.maximum(flat_valid.sum(), 1.0)
+        agg = {}
+        for k, v in flat.items():
+            m = (v * flat_valid).sum() / n
+            var = (((v - m) ** 2) * flat_valid).sum() / n
+            agg[f"mean_{k}"] = m
+            agg[f"std_{k}"] = jnp.sqrt(var)
+        return losses.mean(), agg
+
+    return eval_epoch
+
+
+def batch_indices(n: int, batch_size: int, *, shuffle: bool, rng: np.random.Generator):
+    """Fixed-shape (num_batches, B) index + validity arrays covering all n
+    samples (last batch padded by repeating index 0, masked invalid)."""
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    num_batches = (n + batch_size - 1) // batch_size
+    padded = np.zeros(num_batches * batch_size, dtype=np.int32)
+    valid = np.zeros(num_batches * batch_size, dtype=np.float32)
+    padded[:n] = order
+    valid[:n] = 1.0
+    return (
+        padded.reshape(num_batches, batch_size),
+        valid.reshape(num_batches, batch_size),
+    )
+
+
+class Evaluator:
+    """Unified train/eval protocol — the reference `ModelEvaluator` rebuilt.
+
+    API parity: `train_model(...) -> {'best_iou', 'history'}` with history
+    keys train_loss/val_loss/val_iou/val_f1/val_accuracy, and
+    `evaluate_model(...) -> {'mean_*','std_*','avg_inference_time',
+    'total_samples'}` (`Main_Final.py:549-668`).
+    """
+
+    def __init__(self, model, config: TrainConfig, augment_fn=None):
+        self.model = model
+        self.config = config
+        self._train_epoch = make_train_epoch(model, config, augment_fn)
+        self._eval_epoch = make_eval_epoch(model, config)
+
+    def train_model(self, train_ds: DeviceDataset, val_ds: DeviceDataset, verbose=True):
+        cfg = self.config
+        state = create_train_state(
+            self.model, cfg, (1, *train_ds.images.shape[1:3], train_ds.images.shape[3])
+        )
+        host_rng = np.random.default_rng(cfg.seed)
+        history = {k: [] for k in ("train_loss", "val_loss", "val_iou", "val_f1", "val_accuracy")}
+        best_iou = 0.0
+
+        vidx, vvalid = batch_indices(
+            len(val_ds), cfg.eval_batch_size, shuffle=False, rng=host_rng
+        )
+        vidx, vvalid = jnp.asarray(vidx), jnp.asarray(vvalid)
+
+        for epoch in range(cfg.epochs):
+            idx, valid = batch_indices(
+                len(train_ds), cfg.batch_size, shuffle=True, rng=host_rng
+            )
+            state, train_loss = self._train_epoch(
+                state, train_ds.images, train_ds.masks, jnp.asarray(idx), jnp.asarray(valid)
+            )
+            val_loss, agg = self._eval_epoch(
+                state.params, state.batch_stats, val_ds.images, val_ds.masks, vidx, vvalid
+            )
+            train_loss = float(train_loss)
+            val_loss = float(val_loss)
+            val_iou = float(agg["mean_iou"])
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            history["val_iou"].append(val_iou)
+            history["val_f1"].append(float(agg["mean_f1_score"]))
+            history["val_accuracy"].append(float(agg["mean_accuracy"]))
+
+            metric = train_loss if cfg.plateau_on == "train" else val_loss
+            state = state.replace(
+                plateau=plateau_update(
+                    state.plateau, metric, cfg.plateau_patience, cfg.plateau_factor
+                )
+            )
+            best_iou = max(best_iou, val_iou)
+            if verbose and epoch % cfg.log_every == 0:
+                print(
+                    f"Epoch {epoch:2d}: Train Loss: {train_loss:.4f}, "
+                    f"Val Loss: {val_loss:.4f}, IoU: {val_iou:.4f}, "
+                    f"F1: {history['val_f1'][-1]:.4f}"
+                )
+
+        self.state = state
+        return {"best_iou": best_iou, "history": history}
+
+    def evaluate_model(self, test_ds: DeviceDataset, state: Optional[TrainState] = None):
+        cfg = self.config
+        state = state or self.state
+        idx, valid = batch_indices(
+            len(test_ds), cfg.eval_batch_size, shuffle=False,
+            rng=np.random.default_rng(0),
+        )
+        idx, valid = jnp.asarray(idx), jnp.asarray(valid)
+
+        # Timed inference path (parity: Main_Final.py:644-651, but with the
+        # compile excluded via one warmup and device-sync-correct timing).
+        infer = jax.jit(
+            lambda params, batch_stats, x: self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+        )
+        x0 = normalize_images(test_ds.images[: cfg.eval_batch_size])
+        jax.block_until_ready(infer(state.params, state.batch_stats, x0))
+        t0 = time.perf_counter()
+        jax.block_until_ready(infer(state.params, state.batch_stats, x0))
+        per_image_time = (time.perf_counter() - t0) / x0.shape[0]
+
+        _, agg = self._eval_epoch(
+            state.params, state.batch_stats, test_ds.images, test_ds.masks, idx, valid
+        )
+        results = {k: float(v) for k, v in agg.items()}
+        results["avg_inference_time"] = per_image_time
+        results["total_samples"] = int(len(test_ds))
+        return results

@@ -1,0 +1,138 @@
+"""Training-layer tests: losses/metrics/scheduler pinned against torch and
+numpy golden values, plus an end-to-end loss-decreases smoke train."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from coastline.train.losses import bce_loss, bce_on_probs, cross_entropy_loss
+from coastline.train.lr import plateau_init, plateau_update
+from coastline.train.metrics import aggregate_metrics, binary_iou, per_image_metrics
+
+
+def test_bce_matches_torch():
+    torch.manual_seed(0)
+    logits = torch.randn(2, 8, 8, 1)
+    targets = (torch.rand(2, 8, 8, 1) > 0.5).float()
+    ref = torch.nn.BCELoss()(torch.sigmoid(logits), targets).item()
+    got = float(bce_loss(jnp.asarray(logits.numpy()), jnp.asarray(targets.numpy())))
+    assert abs(got - ref) < 1e-6
+    got_probs = float(
+        bce_on_probs(jnp.asarray(torch.sigmoid(logits).numpy()), jnp.asarray(targets.numpy()))
+    )
+    assert abs(got_probs - ref) < 1e-5
+
+
+def test_cross_entropy_matches_torch():
+    torch.manual_seed(1)
+    logits = torch.randn(2, 2, 8, 8)  # NCHW for torch
+    targets = torch.randint(0, 2, (2, 8, 8))
+    ref = torch.nn.CrossEntropyLoss()(logits, targets).item()
+    got = float(
+        cross_entropy_loss(
+            jnp.asarray(logits.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(targets.numpy()),
+        )
+    )
+    assert abs(got - ref) < 1e-5
+
+
+def test_per_image_metrics_match_reference_formulas():
+    rng = np.random.default_rng(0)
+    probs = rng.random((3, 16, 16)).astype(np.float32)
+    targets = (rng.random((3, 16, 16)) > 0.5).astype(np.float32)
+    got = jax.tree.map(np.asarray, per_image_metrics(jnp.asarray(probs), jnp.asarray(targets)))
+    for i in range(3):
+        pred = (probs[i] > 0.5).flatten()
+        targ = targets[i].astype(bool).flatten()
+        inter = np.logical_and(pred, targ).sum()
+        union = np.logical_or(pred, targ).sum()
+        tp, fp, fn = inter, pred.sum() - inter, targ.sum() - inter
+        prec = tp / (tp + fp + 1e-8)
+        rec = tp / (tp + fn + 1e-8)
+        assert abs(got["iou"][i] - inter / (union + 1e-8)) < 1e-6
+        assert abs(got["accuracy"][i] - (pred == targ).mean()) < 1e-6
+        assert abs(got["precision"][i] - prec) < 1e-6
+        assert abs(got["recall"][i] - rec) < 1e-6
+        assert abs(got["f1_score"][i] - 2 * prec * rec / (prec + rec + 1e-8)) < 1e-6
+
+
+def test_binary_iou_empty_union_is_one():
+    z = jnp.zeros((4, 4), bool)
+    assert float(binary_iou(z, z)) == 1.0
+
+
+def test_aggregate_is_population_std():
+    vals = {"iou": jnp.asarray([0.5, 0.7, 0.9])}
+    agg = aggregate_metrics(vals)
+    assert abs(float(agg["mean_iou"]) - 0.7) < 1e-6
+    assert abs(float(agg["std_iou"]) - np.std([0.5, 0.7, 0.9])) < 1e-6
+
+
+@pytest.mark.parametrize("patience", [2, 5])
+def test_plateau_matches_torch_scheduler(patience):
+    metrics = [1.0, 0.9, 0.95, 0.96, 0.97, 0.98, 0.99, 0.99, 0.99, 0.85, 0.99, 0.99, 0.99, 0.99]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-4)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, patience=patience, factor=0.5)
+    state = plateau_init(1e-4)
+    for m in metrics:
+        sched.step(m)
+        state = plateau_update(state, m, patience=patience, factor=0.5)
+        assert abs(float(state.lr) - opt.param_groups[0]["lr"]) < 1e-9, m
+
+
+def test_end_to_end_training_learns_synthetic_coast():
+    """The minimum end-to-end slice (SURVEY.md §7 step 3): a small RobustUNet
+    must fit a synthetic coastline dataset — loss decreases, IoU climbs."""
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.robust_unet import RobustUNet
+    from coastline.train.loop import Evaluator, TrainConfig
+
+    train_ds = synthetic_device_dataset(8, size=64, seed=0)
+    val_ds = synthetic_device_dataset(4, size=64, seed=1)
+    model = RobustUNet(base=16)  # base must keep channels >= CA ratio 16
+    cfg = TrainConfig(epochs=6, batch_size=4, eval_batch_size=4, lr=3e-3, log_every=10)
+    ev = Evaluator(model, cfg)
+    out = ev.train_model(train_ds, val_ds, verbose=False)
+    hist = out["history"]
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert out["best_iou"] > 0.5, hist["val_iou"]
+
+    results = ev.evaluate_model(val_ds)
+    assert set(results) >= {
+        "mean_iou", "std_iou", "mean_f1_score", "mean_accuracy",
+        "mean_precision", "mean_recall", "avg_inference_time", "total_samples",
+    }
+    assert results["total_samples"] == 4
+    assert abs(results["mean_iou"] - hist["val_iou"][-1]) < 1e-4
+
+
+def test_rasterizer_known_areas():
+    from coastline.data.rasterize import rasterize_polygons
+
+    square = [(10, 10), (20, 10), (20, 20), (10, 20)]
+    mask = rasterize_polygons([square], (32, 32))
+    assert mask.shape == (32, 32)
+    assert mask.sum() == 11 * 11  # PIL fills inclusive edges
+    tri = [(0, 0), (10, 0)]  # degenerate: <3 points ignored
+    assert rasterize_polygons([tri], (16, 16)).sum() == 0
+
+
+def test_labelme_roundtrip(tmp_path):
+    from coastline.data.pipeline import build_dataset, pair_files, sequential_split
+    from coastline.data.synthetic import write_synthetic_tree
+
+    images_dir, labels_dir = write_synthetic_tree(str(tmp_path), 5, size=64)
+    imgs, lbls = pair_files(images_dir, labels_dir)
+    assert len(imgs) == 5
+    train, val = sequential_split(list(zip(imgs, lbls)))
+    assert len(train) == 4 and len(val) == 1
+    ds = build_dataset(imgs, lbls, (64, 64))
+    assert ds.images.shape == (5, 64, 64, 3)
+    assert ds.masks.shape == (5, 64, 64)
+    # water fraction should be substantial (lower half-ish of each frame)
+    frac = float(jnp.mean(ds.masks.astype(jnp.float32)))
+    assert 0.3 < frac < 0.8
