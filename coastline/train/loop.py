@@ -121,7 +121,19 @@ def _compute_loss(model, config: TrainConfig, logits, masks, valid):
     return (per_img * w).sum() / denom
 
 
-def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] = None):
+def _constrain_batch(x, y, mesh):
+    """Pin the gathered batch to the mesh's batch sharding; GSPMD then
+    partitions the whole fwd/bwd and inserts the gradient all-reduce."""
+    if mesh is None:
+        return x, y
+    from coastline.parallel.mesh import batch_sharding
+
+    sh = batch_sharding(mesh)
+    return jax.lax.with_sharding_constraint(x, sh), jax.lax.with_sharding_constraint(y, sh)
+
+
+def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] = None,
+                     mesh=None):
     """Build a jitted epoch: lax.scan over gather-indexed fixed-shape batches."""
     tx = make_optimizer(config.weight_decay)
 
@@ -130,6 +142,7 @@ def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] 
         idx, valid = batch_idx_valid
         x_u8 = jnp.take(images, idx, axis=0)
         y = jnp.take(masks, idx, axis=0)
+        x_u8, y = _constrain_batch(x_u8, y, mesh)
 
         rng = jax.random.fold_in(state.rng, state.step)
         drop_rng, aug_rng = jax.random.split(rng)
@@ -173,13 +186,15 @@ def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] 
     return train_epoch
 
 
-def make_eval_epoch(model, config: TrainConfig):
+def make_eval_epoch(model, config: TrainConfig, mesh=None):
     """Jitted full-validation pass: loss + per-image metrics, all on device."""
 
     def step(_, batch, params, batch_stats, images, masks):
         idx, valid = batch
-        x = normalize_images(jnp.take(images, idx, axis=0))
+        x_u8 = jnp.take(images, idx, axis=0)
         y = jnp.take(masks, idx, axis=0)
+        x_u8, y = _constrain_batch(x_u8, y, mesh)
+        x = normalize_images(x_u8)
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
@@ -239,11 +254,11 @@ class Evaluator:
     'total_samples'}` (`Main_Final.py:549-668`).
     """
 
-    def __init__(self, model, config: TrainConfig, augment_fn=None):
+    def __init__(self, model, config: TrainConfig, augment_fn=None, mesh=None):
         self.model = model
         self.config = config
-        self._train_epoch = make_train_epoch(model, config, augment_fn)
-        self._eval_epoch = make_eval_epoch(model, config)
+        self._train_epoch = make_train_epoch(model, config, augment_fn, mesh)
+        self._eval_epoch = make_eval_epoch(model, config, mesh)
 
     def train_model(self, train_ds: DeviceDataset, val_ds: DeviceDataset, verbose=True):
         cfg = self.config
