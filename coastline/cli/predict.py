@@ -1,0 +1,95 @@
+"""Coastline extraction CLI — replaces the reference's Tkinter GUI + menu
+CLI (`/root/reference/predict_coastline.py:848-1693`) with a flag-driven,
+batchable entry point. (The GUI is host-side and orthogonal to TPU work —
+SURVEY.md §7; this CLI covers single-image, batch-directory, and the new
+full-scene tiled mode.)
+
+Usage:
+  python -m coastline.cli.predict image.png --checkpoint ./models
+  python -m coastline.cli.predict dir/ --batch --output ./batch_results
+  python -m coastline.cli.predict scene.tif --scene --output ./coastline_results
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("input", help="image file or directory")
+    p.add_argument("--checkpoint", default="./models",
+                   help="trainer save dir with a best/ checkpoint")
+    p.add_argument("--output", default="./coastline_results")
+    p.add_argument("--dilation", type=int, default=20,
+                   help="coastline band width (GUI default 20, "
+                        "predict_coastline.py:870)")
+    p.add_argument("--batch", action="store_true", help="process a directory")
+    p.add_argument("--scene", action="store_true",
+                   help="tile full-resolution scene instead of downscaling")
+    p.add_argument("--random-weights", action="store_true",
+                   help="run without a checkpoint (smoke testing)")
+    args = p.parse_args(argv)
+
+    from coastline.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
+    from coastline.infer.extract import CoastlineExtractor
+
+    kwargs = {}
+    if not args.random_weights:
+        kwargs["checkpoint_dir"] = args.checkpoint
+    try:
+        ex = CoastlineExtractor(**kwargs)
+    except FileNotFoundError as e:
+        print(f"{e}\n(hint: train first with coastline.cli.train, or pass "
+              f"--random-weights for a smoke run)")
+        return 1
+
+    if args.batch or os.path.isdir(args.input):
+        exts = ("*.png", "*.jpg", "*.jpeg", "*.tif", "*.tiff")
+        paths = sorted(
+            p for pattern in exts for p in glob.glob(os.path.join(args.input, pattern))
+        )
+        if not paths:
+            print(f"no images found in {args.input}")
+            return 1
+        print(f"processing {len(paths)} images -> {args.output}")
+        results = ex.extract_batch(paths, args.output, args.dilation)
+        ok = sum(r is not None for r in results)
+        print(f"done: {ok}/{len(paths)} succeeded")
+        return 0 if ok else 1
+
+    if args.scene:
+        import numpy as np
+        from PIL import Image
+
+        from coastline.infer.contours import extract_contours
+        from coastline.infer.morphology import coastline_band
+
+        img = ex._load_image(args.input)
+        scene = np.asarray(img, np.uint8)
+        mask = ex.predict_scene(scene)
+        band = np.asarray(coastline_band(mask, args.dilation))
+        lines = extract_contours(band)
+        os.makedirs(args.output, exist_ok=True)
+        base = os.path.splitext(os.path.basename(args.input))[0]
+        Image.fromarray((mask * 255).astype(np.uint8)).save(
+            os.path.join(args.output, f"{base}_water_mask.png"))
+        Image.fromarray((band * 255).astype(np.uint8)).save(
+            os.path.join(args.output, f"{base}_coastline_mask.png"))
+        print(f"scene {scene.shape[1]}x{scene.shape[0]}: "
+              f"{len(lines)} coastlines -> {args.output}")
+        return 0
+
+    result = ex.extract_coastline_from_image(args.input, args.output, args.dilation)
+    if result is None:
+        return 1
+    print(f"extracted {result['coastline_count']} coastlines from {args.input}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""Production training CLI — replaces the reference's interactive `input()`
+prompts (`/root/reference/train_water_segmentation.py:832-875`) with flags.
+
+Usage:
+  python -m coastline.cli.train --images-dir D --labels-dir L --epochs 200
+  python -m coastline.cli.train --synthetic 16 --epochs 5 --image-size 64
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images-dir", default="./labelme_images/converted")
+    p.add_argument("--labels-dir", default="./labelme_images/annotations/")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--save-dir", default="./models")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--strict-parity-aug", action="store_true",
+                   help="reference behavior: rotate/flip image only, not mask")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard batches over N devices (0 = single chip)")
+    args = p.parse_args(argv)
+
+    from coastline.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
+    from coastline.train.trainer import TrainerConfig, WaterSegmentationTrainer
+
+    mesh = None
+    if args.data_parallel:
+        from coastline.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+
+    cfg = TrainerConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        image_size=args.image_size,
+        save_dir=args.save_dir,
+        augment=not args.no_augment,
+        image_only_geometric=args.strict_parity_aug,
+        dtype=args.dtype,
+    )
+    trainer = WaterSegmentationTrainer(cfg, mesh=mesh)
+
+    if args.synthetic:
+        from coastline.data.synthetic import synthetic_device_dataset
+
+        n = args.synthetic
+        train_ds = synthetic_device_dataset(int(n * 0.8), args.image_size, seed=0)
+        val_ds = synthetic_device_dataset(n - int(n * 0.8), args.image_size, seed=1)
+    else:
+        train_ds, val_ds = trainer.prepare_dataset(args.images_dir, args.labels_dir)
+
+    print(f"training on {len(train_ds)} samples, validating on {len(val_ds)}")
+    hist = trainer.train(train_ds, val_ds)
+    best = max(hist["iou_scores"]) if hist["iou_scores"] else float("nan")
+    print(f"done: best IoU {best:.4f} "
+          f"(epoch {hist['best_model_epoch'] + 1}), "
+          f"{hist['training_time']:.1f}s; checkpoints in {args.save_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""Coastline extraction: segmentation -> mask -> dilation band -> polylines.
+
+Capability parity with `CoastlineExtractor`
+(`/root/reference/predict_coastline.py:336-846`): loads the production
+2-class U-Net, predicts a water mask at 512^2, NEAREST-resizes to native
+resolution, extracts the dilated coastline band and simplified contour
+polylines, writes `{base}_water_mask.png`, `{base}_coastline_mask.png`,
+`{base}_coastlines.json` and a CoastSat-style analysis figure.
+
+TPU redesign: the forward + argmax run jitted on device (optionally batched
+over many images or scene tiles via data.tiling); dilation is a device
+convolution (infer.morphology); only contour tracing and PNG/JSON encoding
+run on host.
+"""
+
+import json
+import os
+from datetime import datetime
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from coastline.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+from coastline.infer.contours import extract_contours
+from coastline.infer.morphology import coastline_band
+from coastline.models.unet import UNet
+
+
+class CoastlineExtractor:
+    def __init__(
+        self,
+        checkpoint_dir: Optional[str] = None,
+        variables: Optional[dict] = None,
+        dtype=jnp.float32,
+        image_size: int = 512,
+    ):
+        self.model = UNet(n_classes=2, dtype=dtype)
+        self.image_size = image_size
+        if variables is not None:
+            self.variables = variables
+        elif checkpoint_dir is not None:
+            from coastline.train.trainer import TrainerConfig, WaterSegmentationTrainer
+
+            trainer = WaterSegmentationTrainer(
+                TrainerConfig(save_dir=checkpoint_dir, image_size=image_size)
+            )
+            payload = trainer.load_best(checkpoint_dir)
+            if payload is None:
+                raise FileNotFoundError(f"no best checkpoint under {checkpoint_dir}")
+            self.variables = payload
+            print(f"loaded model from {checkpoint_dir}")
+        else:
+            x = jnp.zeros((1, image_size, image_size, 3))
+            v = self.model.init(
+                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+            )
+            self.variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+            print("WARNING: no checkpoint provided — using random weights")
+
+        @jax.jit
+        def _predict(params, batch_stats, x_u8):
+            x = x_u8.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            logits = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        self._predict = _predict
+
+    # ------------------------------------------------------------------ io
+    def _load_image(self, image_path: str) -> Image.Image:
+        if image_path.lower().endswith((".tif", ".tiff")):
+            from coastline.data.geotiff import load_tif_enhanced
+
+            try:
+                rgb, _ = load_tif_enhanced(image_path)
+                return Image.fromarray(rgb)
+            except Exception as e:
+                print(f"TIF load failed {image_path}: {e}")
+                return Image.new("RGB", (512, 512), (0, 0, 0))
+        return Image.open(image_path).convert("RGB")
+
+    # ------------------------------------------------------------- predict
+    def predict_mask(self, image: Image.Image) -> np.ndarray:
+        """512^2 predict + NEAREST upsample to native size -> (H,W) uint8."""
+        original_size = image.size  # (W, H)
+        resized = image.resize((self.image_size, self.image_size), Image.BILINEAR)
+        x = jnp.asarray(np.asarray(resized, np.uint8))[None]
+        mask = np.asarray(
+            self._predict(self.variables["params"], self.variables["batch_stats"], x)
+        )[0]
+        mask_img = Image.fromarray(mask).resize(original_size, Image.NEAREST)
+        return np.asarray(mask_img, np.uint8)
+
+    def predict_masks_batch(self, images_u8: np.ndarray) -> np.ndarray:
+        """Batched (N,512,512,3) uint8 -> (N,512,512) masks, one device call."""
+        return np.asarray(
+            self._predict(
+                self.variables["params"], self.variables["batch_stats"],
+                jnp.asarray(images_u8),
+            )
+        )
+
+    def predict_scene(self, scene_u8: np.ndarray, batch: int = 8,
+                      overlap: int = 64) -> np.ndarray:
+        """Full-scene water mask at native resolution via the tile pipeline."""
+        from coastline.data.tiling import stitch_tiles, tile_scene
+
+        tiles, grid = tile_scene(scene_u8, self.image_size, overlap)
+        outs = []
+        for i in range(0, tiles.shape[0], batch):
+            chunk = tiles[i : i + batch]
+            pad = batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+            masks = self.predict_masks_batch(chunk)
+            outs.append(masks[: batch - pad] if pad else masks)
+        return stitch_tiles(np.concatenate(outs), grid)
+
+    # ------------------------------------------------------------- extract
+    def extract_coastline_from_image(
+        self, image_path: str, output_dir: Optional[str] = None,
+        dilation_size: int = 5,
+    ) -> Optional[dict]:
+        try:
+            image = self._load_image(image_path)
+            water_mask = self.predict_mask(image)
+            band = np.asarray(coastline_band(water_mask, dilation_size))
+            coastlines = extract_contours(band)
+            result = {
+                "image_path": image_path,
+                "image_size": list(image.size),
+                "water_mask": water_mask,
+                "coastline_mask": band,
+                "coastlines": coastlines,
+                "coastline_count": len(coastlines),
+                "dilation_size": dilation_size,
+                "extraction_time": str(datetime.now()),
+            }
+            if output_dir:
+                self.save_extraction_result(result, output_dir, image)
+            return result
+        except Exception as e:
+            print(f"extraction failed for {image_path}: {e}")
+            return None
+
+    def save_extraction_result(self, result: dict, output_dir: str,
+                               image: Optional[Image.Image] = None):
+        os.makedirs(output_dir, exist_ok=True)
+        base = os.path.splitext(os.path.basename(result["image_path"]))[0]
+        Image.fromarray(result["water_mask"] * 255).save(
+            os.path.join(output_dir, f"{base}_water_mask.png")
+        )
+        Image.fromarray(result["coastline_mask"] * 255).save(
+            os.path.join(output_dir, f"{base}_coastline_mask.png")
+        )
+        payload = {
+            "image_path": result["image_path"],
+            "image_size": result["image_size"],
+            "coastlines": result["coastlines"],
+            "coastline_count": result["coastline_count"],
+            "dilation_size": result.get("dilation_size", 5),
+            "extraction_time": result["extraction_time"],
+        }
+        with open(os.path.join(output_dir, f"{base}_coastlines.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(payload, f, indent=2, ensure_ascii=False)
+        try:
+            from coastline.report.coastsat_fig import create_analysis_figure
+
+            create_analysis_figure(result, output_dir, image)
+        except Exception as e:
+            print("analysis figure failed:", e)
+        print(f"results saved to {output_dir}")
+
+    def extract_batch(self, image_paths: List[str], output_dir: str,
+                      dilation_size: int = 5) -> List[Optional[dict]]:
+        return [
+            self.extract_coastline_from_image(p, output_dir, dilation_size)
+            for p in image_paths
+        ]

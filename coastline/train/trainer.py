@@ -1,0 +1,280 @@
+"""Production training loop — the reference's `WaterSegmentationTrainer`
+(`/root/reference/train_water_segmentation.py:290-830`) rebuilt TPU-native.
+
+Capability parity: 2-class U-Net + CrossEntropy, Adam 1e-4, plateau LR on
+val loss (patience 10, x0.5), quality-gated dataset prep with the seeded
+80/20 split, per-epoch validation (pixel accuracy + batch-level IoU with
+the union==0 -> 1.0 rule), best-IoU checkpointing, early stop after 20
+stale epochs, history artifact, periodic progress/confusion figures.
+
+TPU redesign: the epoch is a single compiled scan (see train.loop); device
+-side augmentation (train.checkpoint / data.augment) applies geometric
+transforms to image AND mask (the reference rotates only the image —
+documented deviation, `image_only_geometric=True` restores it); checkpoints
+are full-state Orbax (resume capability the reference lacks).
+"""
+
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from coastline.data.augment import make_augment_fn
+from coastline.data.pipeline import DeviceDataset, build_dataset, pair_files, seeded_split
+from coastline.models.unet import UNet
+from coastline.train.checkpoint import CheckpointManager
+from coastline.train.loop import (
+    TrainConfig,
+    batch_indices,
+    create_train_state,
+    make_train_epoch,
+    normalize_images,
+)
+from coastline.train.lr import plateau_update
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 200
+    batch_size: int = 8
+    lr: float = 1e-4
+    plateau_patience: int = 10
+    early_stop_patience: int = 20
+    image_size: int = 512
+    save_dir: str = "./models"
+    viz_every: int = 5
+    augment: bool = True
+    image_only_geometric: bool = False  # True = strict reference parity
+    min_image_px: int = 50
+    seed: int = 0
+    dtype: str = "float32"
+
+
+def quality_gate_pairs(image_paths, label_paths, min_px: int = 50, verbose=True):
+    """The reference's dataset quality gates
+    (`train_water_segmentation.py:774-807`): drop images smaller than
+    `min_px`, pairs without a water polygon, and unreadable files."""
+    import json
+
+    from coastline.data.rasterize import WATER_LABELS
+
+    kept_i, kept_l = [], []
+    for ip, lp in zip(image_paths, label_paths):
+        try:
+            with Image.open(ip) as im:
+                if min(im.size) < min_px:
+                    continue
+            with open(lp, "r", encoding="utf-8") as f:
+                shapes = json.load(f).get("shapes", [])
+            if not any(
+                str(s.get("label", "")).lower() in WATER_LABELS for s in shapes
+            ):
+                continue
+            kept_i.append(ip)
+            kept_l.append(lp)
+        except Exception:
+            continue
+    if verbose:
+        print(f"quality gate: kept {len(kept_i)}/{len(image_paths)} pairs")
+    return kept_i, kept_l
+
+
+class WaterSegmentationTrainer:
+    def __init__(self, config: TrainerConfig = TrainerConfig(), mesh=None):
+        self.config = config
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.model = UNet(n_classes=2, dtype=dtype)
+        self.mesh = mesh
+        self.history = {
+            "train_losses": [],
+            "val_losses": [],
+            "learning_rates": [],
+            "accuracies": [],
+            "iou_scores": [],
+            "best_model_epoch": 0,
+            "training_time": 0.0,
+        }
+
+    # ---------------------------------------------------------------- data
+    def prepare_dataset(self, images_dir, labels_dir) -> Tuple[DeviceDataset, DeviceDataset]:
+        imgs, lbls = pair_files(images_dir, labels_dir)
+        imgs, lbls = quality_gate_pairs(imgs, lbls, self.config.min_image_px)
+        pairs = list(zip(imgs, lbls))
+        train_pairs, val_pairs = seeded_split(pairs, test_size=0.2, seed=42)
+        size = (self.config.image_size, self.config.image_size)
+        train = build_dataset([p[0] for p in train_pairs], [p[1] for p in train_pairs], size)
+        val = build_dataset([p[0] for p in val_pairs], [p[1] for p in val_pairs], size)
+        return train, val
+
+    # ------------------------------------------------------------ validate
+    def _make_validate(self):
+        model = self.model
+
+        @jax.jit
+        def validate(params, batch_stats, images, masks, idx, valid):
+            def step(_, batch):
+                bidx, bvalid = batch
+                x = normalize_images(jnp.take(images, bidx, axis=0))
+                y = jnp.take(masks, bidx, axis=0).astype(jnp.int32)
+                logits = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x, train=False
+                )
+                logz = jax.nn.logsumexp(logits, axis=-1)
+                picked = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]
+                loss = (logz - picked).mean()
+                pred = jnp.argmax(logits, axis=-1)
+                acc = (pred == y).mean()
+                # batch-level IoU with union==0 -> 1.0
+                # (train_water_segmentation.py:341-358,388)
+                inter = jnp.sum((pred == 1) & (y == 1))
+                union = jnp.sum((pred == 1) | (y == 1))
+                iou = jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1))
+                return None, (loss, acc, iou, bvalid.max())
+
+            _, (losses, accs, ious, has_valid) = jax.lax.scan(step, None, (idx, valid))
+            n = jnp.maximum(has_valid.sum(), 1.0)
+            return (
+                (losses * has_valid).sum() / n,
+                (accs * has_valid).sum() / n,
+                (ious * has_valid).sum() / n,
+            )
+
+        return validate
+
+    # --------------------------------------------------------------- train
+    def train(self, train_ds: DeviceDataset, val_ds: DeviceDataset, verbose=True):
+        cfg = self.config
+        loop_cfg = TrainConfig(
+            epochs=cfg.epochs,
+            lr=cfg.lr,
+            weight_decay=0.0,  # reference production Adam has no weight decay
+            batch_size=cfg.batch_size,
+            eval_batch_size=cfg.batch_size,
+            loss="ce",
+            plateau_on="val",
+            plateau_patience=cfg.plateau_patience,
+            seed=cfg.seed,
+        )
+        augment_fn = (
+            make_augment_fn(image_only_geometric=cfg.image_only_geometric)
+            if cfg.augment
+            else None
+        )
+        train_epoch = make_train_epoch(self.model, loop_cfg, augment_fn, self.mesh)
+        validate = self._make_validate()
+
+        h, w = train_ds.images.shape[1:3]
+        state = create_train_state(self.model, loop_cfg, (1, h, w, 3))
+        ckpt = CheckpointManager(cfg.save_dir)
+        host_rng = np.random.default_rng(cfg.seed)
+
+        vidx, vvalid = batch_indices(
+            len(val_ds), cfg.batch_size, shuffle=False, rng=host_rng
+        )
+        vidx, vvalid = jnp.asarray(vidx), jnp.asarray(vvalid)
+
+        best_iou, stale, t_start = -1.0, 0, time.time()
+        for epoch in range(cfg.epochs):
+            idx, valid = batch_indices(
+                len(train_ds), cfg.batch_size, shuffle=True, rng=host_rng
+            )
+            state, train_loss = train_epoch(
+                state, train_ds.images, train_ds.masks,
+                jnp.asarray(idx), jnp.asarray(valid),
+            )
+            val_loss, val_acc, val_iou = validate(
+                state.params, state.batch_stats,
+                val_ds.images, val_ds.masks, vidx, vvalid,
+            )
+            train_loss, val_loss = float(train_loss), float(val_loss)
+            val_acc, val_iou = float(val_acc), float(val_iou)
+
+            self.history["train_losses"].append(train_loss)
+            self.history["val_losses"].append(val_loss)
+            self.history["learning_rates"].append(float(state.plateau.lr))
+            self.history["accuracies"].append(val_acc)
+            self.history["iou_scores"].append(val_iou)
+
+            state = state.replace(
+                plateau=plateau_update(
+                    state.plateau, val_loss, cfg.plateau_patience, 0.5
+                )
+            )
+
+            if val_iou > best_iou:
+                best_iou = val_iou
+                stale = 0
+                self.history["best_model_epoch"] = epoch
+                ckpt.maybe_save_best(epoch, state, val_iou)
+            else:
+                stale += 1
+
+            if verbose:
+                print(
+                    f"Epoch {epoch + 1}/{cfg.epochs}: train {train_loss:.4f} "
+                    f"val {val_loss:.4f} acc {val_acc:.4f} IoU {val_iou:.4f} "
+                    f"lr {float(state.plateau.lr):.2e}"
+                )
+            if cfg.viz_every and (epoch + 1) % cfg.viz_every == 0:
+                self._save_progress_figures(epoch, val_ds, state)
+            if stale >= cfg.early_stop_patience:
+                if verbose:
+                    print(f"early stop at epoch {epoch + 1} (patience {cfg.early_stop_patience})")
+                break
+
+        self.history["training_time"] = time.time() - t_start
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        with open(os.path.join(cfg.save_dir, "training_history.pkl"), "wb") as f:
+            pickle.dump(self.history, f)
+        try:
+            from coastline.report.trainer_viz import save_final_report
+
+            save_final_report(self.history, cfg.save_dir)
+        except Exception as e:
+            print("final report figure failed:", e)
+        self.state = state
+        ckpt.save(int(state.step), state, metrics={"val_iou": best_iou})
+        ckpt.close()
+        return self.history
+
+    def _save_progress_figures(self, epoch, val_ds, state):
+        try:
+            from coastline.report.trainer_viz import (
+                save_confusion_matrix,
+                save_progress_figure,
+            )
+
+            out_dir = os.path.join(self.config.save_dir, "progress")
+            save_progress_figure(self.history, epoch, out_dir)
+            x = normalize_images(val_ds.images[:4])
+            logits = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False,
+            )
+            pred = np.asarray(jnp.argmax(logits, axis=-1))
+            save_confusion_matrix(
+                np.asarray(val_ds.masks[:4]), pred, epoch, out_dir
+            )
+        except Exception as e:
+            print("progress figure failed:", e)
+
+    # ----------------------------------------------------------- restoring
+    def load_best(self, save_dir: Optional[str] = None):
+        cfg_dir = save_dir or self.config.save_dir
+        ckpt = CheckpointManager(cfg_dir)
+        loop_cfg = TrainConfig(loss="ce")
+        template_state = create_train_state(
+            self.model, loop_cfg, (1, self.config.image_size, self.config.image_size, 3)
+        )
+        payload = ckpt.restore_best(
+            {"params": template_state.params, "batch_stats": template_state.batch_stats}
+        )
+        ckpt.close()
+        return payload

@@ -1,0 +1,97 @@
+"""Inference/extraction tests: device morphology vs cv2, contour tracing on
+analytic masks, the full extractor pipeline, and scene tiling."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from coastline.infer.contours import _rdp, extract_contours
+from coastline.infer.morphology import coastline_band, dilate, elliptical_kernel
+
+
+@pytest.mark.parametrize("size", [3, 5, 7, 20])
+def test_dilate_matches_cv2(size):
+    rng = np.random.default_rng(0)
+    mask = (rng.random((64, 64)) > 0.9).astype(np.uint8)
+    ref = cv2.dilate(
+        mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (size, size)), iterations=1
+    )
+    assert np.array_equal(np.asarray(dilate(mask, size)), ref)
+
+
+def test_coastline_band_is_dilation_minus_mask():
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 1
+    band = np.asarray(coastline_band(mask, 5))
+    assert band.max() == 1
+    assert (band & mask).sum() == 0  # band is outside the original water
+    assert band.sum() > 0
+
+
+def test_disk_yields_one_coastline_ring():
+    """A filled disk -> dilation band -> exactly one external contour."""
+    yy, xx = np.mgrid[0:128, 0:128]
+    mask = (((yy - 64) ** 2 + (xx - 64) ** 2) < 40**2).astype(np.uint8)
+    band = np.asarray(coastline_band(mask, 5))
+    lines = extract_contours(band)
+    assert len(lines) == 1
+    pts = np.asarray(lines[0])
+    radii = np.hypot(pts[:, 0] - 64, pts[:, 1] - 64)
+    assert np.all(np.abs(radii - 42) < 4)  # ring sits just outside r=40
+
+
+def test_rdp_keeps_corners():
+    square = np.array([[0, 0], [5, 0], [10, 0], [10, 10], [0, 10]], np.int32)
+    out = _rdp(square, eps=1.0)
+    assert len(out) <= 4 + 1
+    assert [0, 0] in out.tolist() and [10, 10] in out.tolist()
+
+
+def test_tile_stitch_roundtrip():
+    from coastline.data.tiling import stitch_tiles, tile_scene
+
+    rng = np.random.default_rng(0)
+    for h, w, overlap in [(700, 1100, 0), (700, 1100, 64), (512, 512, 0), (300, 200, 32)]:
+        scene = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        tiles, grid = tile_scene(scene, 512, overlap)
+        back = stitch_tiles(tiles, grid)
+        assert back.shape == scene.shape
+        np.testing.assert_array_equal(back, scene)
+
+
+def test_extractor_end_to_end(tmp_path):
+    """Full artifact pipeline on a synthetic PNG (random model weights)."""
+    from PIL import Image
+
+    from coastline.data.synthetic import make_scene
+    from coastline.infer.extract import CoastlineExtractor
+
+    img, _, _ = make_scene(np.random.default_rng(0), size=64)
+    path = str(tmp_path / "scene.png")
+    Image.fromarray(img).save(path)
+
+    ex = CoastlineExtractor(image_size=64)
+    out_dir = str(tmp_path / "out")
+    result = ex.extract_coastline_from_image(path, out_dir, dilation_size=5)
+    assert result is not None
+    assert result["water_mask"].shape == (64, 64)
+    assert os.path.exists(os.path.join(out_dir, "scene_water_mask.png"))
+    assert os.path.exists(os.path.join(out_dir, "scene_coastline_mask.png"))
+    with open(os.path.join(out_dir, "scene_coastlines.json")) as f:
+        payload = json.load(f)
+    assert payload["coastline_count"] == len(payload["coastlines"])
+    assert os.path.exists(os.path.join(out_dir, "scene_analysis.png"))
+
+
+def test_scene_prediction_shape(tmp_path):
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=64)
+    scene = np.random.default_rng(0).integers(0, 255, (150, 200, 3), dtype=np.uint8)
+    mask = ex.predict_scene(scene, batch=4, overlap=16)
+    assert mask.shape == (150, 200)
+    assert set(np.unique(mask)) <= {0, 1}
