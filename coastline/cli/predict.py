@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--batch", action="store_true", help="process a directory")
     p.add_argument("--scene", action="store_true",
                    help="tile full-resolution scene instead of downscaling")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="import a reference-era PyTorch .pth directly")
     p.add_argument("--random-weights", action="store_true",
                    help="run without a checkpoint (smoke testing)")
     args = p.parse_args(argv)
@@ -39,7 +41,9 @@ def main(argv=None):
     from coastline.infer.extract import CoastlineExtractor
 
     kwargs = {}
-    if not args.random_weights:
+    if args.torch_checkpoint:
+        kwargs["torch_checkpoint"] = args.torch_checkpoint
+    elif not args.random_weights:
         kwargs["checkpoint_dir"] = args.checkpoint
     try:
         ex = CoastlineExtractor(**kwargs)

@@ -34,6 +34,7 @@ class CoastlineExtractor:
         self,
         checkpoint_dir: Optional[str] = None,
         variables: Optional[dict] = None,
+        torch_checkpoint: Optional[str] = None,
         dtype=jnp.float32,
         image_size: int = 512,
     ):
@@ -41,6 +42,12 @@ class CoastlineExtractor:
         self.image_size = image_size
         if variables is not None:
             self.variables = variables
+        elif torch_checkpoint is not None:
+            # a reference-era .pth (e.g. models/best_water_segmentation_model.pth)
+            from coastline.utils.torch_import import load_reference_pth
+
+            self.variables = load_reference_pth(torch_checkpoint)
+            print(f"imported PyTorch checkpoint {torch_checkpoint}")
         elif checkpoint_dir is not None:
             from coastline.train.trainer import TrainerConfig, WaterSegmentationTrainer
 

@@ -1,0 +1,103 @@
+"""Numerical-equivalence test: reference torch UNet checkpoint -> coastline.
+
+Instantiates the actual reference implementation from /root/reference (read
+-only mount), converts its randomly-initialized state_dict with
+`coastline.utils.torch_import`, and checks logits agree to float tolerance.
+Skipped when the reference tree is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+def _load_reference_unet_class():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference tree not available")
+    import torch  # torch must import before stub modules hit sys.modules
+
+    for name, attrs in [
+        ("osgeo", {"gdal": types.ModuleType("osgeo.gdal")}),
+        ("torchvision", {}),
+    ]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__file__ = "<stub>"
+            for k, v in attrs.items():
+                v.__file__ = "<stub>"
+                setattr(mod, k, v)
+                sys.modules[f"{name}.{k}"] = v
+            sys.modules[name] = mod
+    if "torchvision.transforms" not in sys.modules:
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.__file__ = "<stub>"
+        for k in ["Compose", "Resize", "ToTensor", "Normalize",
+                  "RandomHorizontalFlip", "RandomRotation", "ColorJitter"]:
+            setattr(tvt, k, lambda *a, **kw: None)
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision"].transforms = tvt
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import train_water_segmentation as tws
+
+    return tws.UNet
+
+
+def test_reference_unet_checkpoint_imports_numerically():
+    import torch
+
+    UNetTorch = _load_reference_unet_class()
+    torch.manual_seed(0)
+    tm = UNetTorch(n_channels=3, n_classes=2).eval()
+
+    from coastline.models.unet import UNet
+    from coastline.utils.torch_import import import_reference_unet
+
+    variables = import_reference_unet(tm.state_dict())
+
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = UNet(n_classes=2)
+    out = np.asarray(
+        model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x,
+            train=False,
+        )
+    ).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_import_tree_matches_model_init():
+    """Converted tree must structurally match a fresh init (same leaves)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    UNetTorch = _load_reference_unet_class()
+    tm = UNetTorch(3, 2)
+
+    from coastline.models.unet import UNet
+    from coastline.utils.torch_import import import_reference_unet
+
+    conv = import_reference_unet(tm.state_dict())
+    init = jax.eval_shape(
+        lambda: UNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    conv_paths = {
+        jax.tree_util.keystr(p): v.shape
+        for p, v in jax.tree_util.tree_flatten_with_path(conv["params"])[0]
+    }
+    init_paths = {
+        jax.tree_util.keystr(p): v.shape
+        for p, v in jax.tree_util.tree_flatten_with_path(init["params"])[0]
+    }
+    assert conv_paths == init_paths
