@@ -11,10 +11,11 @@ measured in THIS container (baselines/torch_cpu_baseline.json — the
 published numbers came from an i7-12700KF, `README.md:20`; this container
 has 1 vCPU, so the torch side was measured here for a like-for-like host).
 
-Timing methodology: the transport in this environment does not honor
-`block_until_ready` as a true sync, so every measurement chains a scalar
-data dependency through all iterations and fetches it to host at the end —
-the device cannot skip or overlap-hide any iteration's compute.
+Timing methodology: this environment reaches the TPU through a tunnel whose
+per-call RTT (~25ms) and completion signaling are unreliable, so every
+measurement loops the computation N times INSIDE one jitted lax.scan with a
+scalar data dependency between iterations (no CSE, no overlap tricks), does
+one host fetch, and subtracts a separately-measured trivial-dispatch RTT.
 """
 
 import json
@@ -25,11 +26,11 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 REPO = pathlib.Path(__file__).resolve().parent
 
-# Persistent compilation cache: heavyweight train-step compiles happen once
-# per machine, not once per bench run.
+# Persistent compilation cache: heavyweight compiles happen once per machine.
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -38,20 +39,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def chained_seconds_per_call(fn, *args, iters=10, warmup=2):
-    """Average s/call with a forced data dependency across iterations."""
-    acc = None
-    for _ in range(warmup):
-        acc = fn(*args)
-    _ = float(jnp.asarray(acc).ravel()[0])  # sync warmup
-
+def measure_rtt():
+    trivial = jax.jit(lambda x: x.sum())
+    z = jnp.ones((8,))
+    float(trivial(z))
     t0 = time.perf_counter()
-    carry = jnp.zeros((), jnp.float32)
-    for _ in range(iters):
-        out = fn(*args)
-        carry = carry + jnp.asarray(out).ravel()[0].astype(jnp.float32)
-    _ = float(carry)  # host fetch forces the whole chain
-    return (time.perf_counter() - t0) / iters
+    for _ in range(3):
+        float(trivial(z))
+    return (time.perf_counter() - t0) / 3
+
+
+def device_loop_seconds(step_fn, args, n_loop: int, rtt: float, trials: int = 3):
+    """step_fn(carry, *args) -> carry (scalar f32); args passed as jit
+    arguments (NOT captured — captured pytrees become giant HLO constants).
+    Returns s/iteration on device."""
+
+    @jax.jit
+    def loop(*a):
+        return lax.scan(
+            lambda c, _: (step_fn(c, *a), None), jnp.zeros((), jnp.float32), None,
+            length=n_loop,
+        )[0]
+
+    float(loop(*args))  # compile + warm
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        times.append(time.perf_counter() - t0)
+    return max(1e-9, (min(times) - rtt) / n_loop)
 
 
 def main():
@@ -62,79 +78,85 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev}, platform: {dev.platform}")
+    rtt = measure_rtt()
+    log(f"dispatch RTT: {rtt * 1000:.1f} ms")
 
     model = RobustUNet(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x1 = jax.random.normal(rng, (1, 512, 512, 3), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, x1)
-    params = variables["params"]
-    batch_stats = variables["batch_stats"]
+    params, batch_stats = variables["params"], variables["batch_stats"]
 
-    infer = jax.jit(
-        lambda p, s, x: model.apply({"params": p, "batch_stats": s}, x, train=False)
-    )
-
-    # FLOPs (per image) from XLA's cost model, for a speed-of-light reference
+    # FLOPs from XLA's cost model for a speed-of-light reference
     flops_per_img = None
     try:
-        lowered = infer.lower(params, batch_stats, x1)
-        cost = lowered.compile().cost_analysis()
+        infer1 = jax.jit(
+            lambda p, s, x: model.apply({"params": p, "batch_stats": s}, x, train=False)
+        )
+        cost = infer1.lower(params, batch_stats, x1).compile().cost_analysis()
         if cost and "flops" in cost:
             flops_per_img = float(cost["flops"])
             log(f"XLA flops/image: {flops_per_img / 1e9:.1f} GF")
-    except Exception as e:  # cost analysis is best-effort
+    except Exception as e:
         log("cost_analysis unavailable:", e)
 
+    def infer_step(c, p, s, x):
+        xi = x * (1.0 + c * 1e-20)  # defeat CSE across loop iterations
+        y = model.apply({"params": p, "batch_stats": s}, xi, train=False)
+        return c + y.mean().astype(jnp.float32)
+
     # Batch-1 latency (the predict_coastline per-tile path)
-    lat = chained_seconds_per_call(infer, params, batch_stats, x1, iters=5)
+    lat = device_loop_seconds(infer_step, (params, batch_stats, x1), 20, rtt)
     p50_ms = lat * 1e3
-    log(f"batch-1 latency (chained avg): {p50_ms:.2f}ms")
+    log(f"single-tile latency: {p50_ms:.2f} ms")
 
-    # Throughput at batch 8
-    B = 8
-    xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
-    sec = chained_seconds_per_call(infer, params, batch_stats, xb, iters=5)
-    infer_ips = B / sec
-    log(f"batch-{B} inference: {infer_ips:.1f} images/sec")
+    best_ips, best_b = 0.0, 1
+    for B in (8, 16, 32):
+        xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
+        sec = device_loop_seconds(infer_step, (params, batch_stats, xb), 20, rtt)
+        ips = B / sec
+        log(f"batch-{B} inference: {ips:.1f} images/sec")
+        if ips > best_ips:
+            best_ips, best_b = ips, B
     if flops_per_img:
-        log(f"achieved: {flops_per_img * infer_ips / 1e12:.1f} TFLOP/s")
+        log(f"achieved: {flops_per_img * best_ips / 1e12:.1f} TFLOP/s")
 
-    # Train-step throughput (batch 8, BCE, full Adam update)
+    # Train-step throughput (batch 8, BCE, full Adam update). The epoch scan
+    # already loops on device; give it 10 batches and subtract the RTT.
+    B = 8
+    n_batches = 10
     cfg = TrainConfig(batch_size=B, lr=1e-4)
     state = create_train_state(model, cfg, (1, 512, 512, 3))
-    images = jnp.asarray(
-        np.random.default_rng(0).integers(0, 255, (B, 512, 512, 3), dtype=np.uint8)
-    )
-    masks = jnp.asarray(
-        np.random.default_rng(1).integers(0, 2, (B, 512, 512), dtype=np.uint8)
-    )
-    idx, valid = batch_indices(B, B, shuffle=False, rng=np.random.default_rng(0))
-    idx, valid = jnp.asarray(idx), jnp.asarray(valid)
+    host = np.random.default_rng(0)
+    images = jnp.asarray(host.integers(0, 255, (B * 2, 512, 512, 3), dtype=np.uint8))
+    masks = jnp.asarray(host.integers(0, 2, (B * 2, 512, 512), dtype=np.uint8))
+    idx = jnp.asarray(host.integers(0, B * 2, (n_batches, B), dtype=np.int32))
+    valid = jnp.ones((n_batches, B), jnp.float32)
     epoch = make_train_epoch(model, cfg)
 
-    state, loss = epoch(state, images, masks, idx, valid)  # compile + warmup
-    _ = float(loss)
-    iters = 3
-    t0 = time.perf_counter()
-    carry = jnp.zeros((), jnp.float32)
-    for _ in range(iters):
+    state, loss = epoch(state, images, masks, idx, valid)
+    float(loss)  # compile + warm (donated state consumed; rebuild below)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         state, loss = epoch(state, images, masks, idx, valid)
-        carry = carry + loss
-    _ = float(carry)
-    train_ips = B / ((time.perf_counter() - t0) / iters)
-    log(f"train step: {train_ips:.2f} images/sec")
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    train_ips = (B * n_batches) / max(1e-9, min(times) - rtt)
+    log(f"train: {train_ips:.2f} images/sec")
 
     baseline_path = REPO / "baselines" / "torch_cpu_baseline.json"
     vs = None
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text())
-        vs = infer_ips / base["robust_unet_infer_images_per_sec"]
+        vs = best_ips / base["robust_unet_infer_images_per_sec"]
 
     out = {
         "metric": "robust_unet_512_bf16_infer_images_per_sec_per_chip",
-        "value": round(infer_ips, 2),
+        "value": round(best_ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 1) if vs else None,
+        "best_batch": best_b,
         "p50_tile_latency_ms": round(p50_ms, 2),
         "train_images_per_sec_per_chip": round(train_ips, 2),
         "platform": dev.platform,
