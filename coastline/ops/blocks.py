@@ -101,8 +101,15 @@ class ChannelAttention(nn.Module):
                        dtype=self.dtype, param_dtype=jnp.float32)
         fc2 = nn.Dense(c, use_bias=False, kernel_init=kernel_init,
                        dtype=self.dtype, param_dtype=jnp.float32)
-        avg = jnp.mean(x, axis=(1, 2))
-        mx = jnp.max(x, axis=(1, 2))
+        from coastline.pallas import pallas_enabled
+
+        if not train and pallas_enabled() and jax.default_backend() == "tpu":
+            from coastline.pallas.pools import fused_avg_max_pool
+
+            avg, mx = fused_avg_max_pool(x)
+        else:
+            avg = jnp.mean(x, axis=(1, 2))
+            mx = jnp.max(x, axis=(1, 2))
         gate = fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx)))
         gate = jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
         return x * gate[:, None, None, :]

@@ -19,6 +19,7 @@ Capability parity with `ModelEvaluator` (`/root/reference/Main_Final.py:
     numbers match the reference protocol exactly.
 """
 
+import math
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -54,6 +55,8 @@ class TrainConfig:
     augment: bool = False
     log_every: int = 5
     seed: int = 0
+    nan_policy: str = "halt"  # halt | warn — failure detection (SURVEY §5.3)
+    log_path: str = ""  # optional JSONL metrics stream
 
 
 class TrainState(struct.PyTreeNode):
@@ -259,6 +262,9 @@ class Evaluator:
         self.config = config
         self._train_epoch = make_train_epoch(model, config, augment_fn, mesh)
         self._eval_epoch = make_eval_epoch(model, config, mesh)
+        from coastline.utils.metrics_log import JsonlLogger
+
+        self._log = JsonlLogger(config.log_path or None)
 
     def train_model(self, train_ds: DeviceDataset, val_ds: DeviceDataset, verbose=True):
         cfg = self.config
@@ -287,6 +293,16 @@ class Evaluator:
             train_loss = float(train_loss)
             val_loss = float(val_loss)
             val_iou = float(agg["mean_iou"])
+
+            if not (math.isfinite(train_loss) and math.isfinite(val_loss)):
+                msg = (f"non-finite loss at epoch {epoch} "
+                       f"(train={train_loss}, val={val_loss})")
+                self._log.log(event="nan", epoch=epoch, train_loss=train_loss)
+                if cfg.nan_policy == "halt":
+                    print(f"HALT: {msg} — stopping (nan_policy=halt); "
+                          f"history up to here is returned")
+                    break
+                print(f"WARNING: {msg}")
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
             history["val_iou"].append(val_iou)
@@ -300,6 +316,9 @@ class Evaluator:
                 )
             )
             best_iou = max(best_iou, val_iou)
+            self._log.log(event="epoch", epoch=epoch, train_loss=train_loss,
+                          val_loss=val_loss, val_iou=val_iou,
+                          lr=float(state.plateau.lr))
             if verbose and epoch % cfg.log_every == 0:
                 print(
                     f"Epoch {epoch:2d}: Train Loss: {train_loss:.4f}, "

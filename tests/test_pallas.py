@@ -1,0 +1,49 @@
+"""Pallas kernel tests (interpret mode — backend-independent semantics).
+
+The fused_avg_max_pool kernel is additionally validated compiled on real
+TPU (exact match at bf16 across all RobustUNet block shapes; see commit
+history for the measured numbers).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coastline.ops.primitives import max_pool_with_indices, max_unpool
+from coastline.pallas.pools import fused_avg_max_pool
+from coastline.pallas.unpool import max_pool_with_indices_pallas, max_unpool_pallas
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 32, 8), (1, 64, 128, 128), (3, 8, 8, 256)])
+def test_fused_avg_max_pool(shape):
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    avg, mx = fused_avg_max_pool(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(x.mean(axis=(1, 2))), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(x.max(axis=(1, 2))), atol=1e-6)
+
+
+def test_pool_unpool_roundtrip_matches_xla_formulation():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 8), jnp.float32)
+    v_ref, i_ref = max_pool_with_indices(x)
+    v, i = max_pool_with_indices_pallas(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    u = max_unpool_pallas(v, i, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(max_unpool(v_ref, i_ref)), atol=1e-6
+    )
+
+
+def test_channel_attention_pallas_flag(monkeypatch):
+    """COASTLINE_PALLAS toggles the fused pooling path; outputs must agree."""
+    from coastline.ops.blocks import ChannelAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 32))
+    mod = ChannelAttention()
+    v = mod.init(jax.random.PRNGKey(0), x)
+    base = mod.apply(v, x)
+    monkeypatch.setenv("COASTLINE_PALLAS", "1")
+    # on CPU the flag is inert (tpu-only guard), output identical
+    out = mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
