@@ -32,6 +32,8 @@ def main(argv=None):
                    help="import a reference-era PyTorch .pth directly")
     p.add_argument("--random-weights", action="store_true",
                    help="run without a checkpoint (smoke testing)")
+    p.add_argument("--image-size", type=int, default=512,
+                   help="model input resolution (must match training)")
     args = p.parse_args(argv)
 
     from coastline.utils.platform import apply_platform_override
@@ -40,7 +42,7 @@ def main(argv=None):
 
     from coastline.infer.extract import CoastlineExtractor
 
-    kwargs = {}
+    kwargs = {"image_size": args.image_size}
     if args.torch_checkpoint:
         kwargs["torch_checkpoint"] = args.torch_checkpoint
     elif not args.random_weights:

@@ -338,18 +338,24 @@ class Evaluator:
         )
         idx, valid = jnp.asarray(idx), jnp.asarray(valid)
 
-        # Timed inference path (parity: Main_Final.py:644-651, but with the
-        # compile excluded via one warmup and device-sync-correct timing).
-        infer = jax.jit(
-            lambda params, batch_stats, x: self.model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-        )
+        # Timed inference path (parity: Main_Final.py:644-651, but compile
+        # excluded and timed with the dependency-chained on-device loop —
+        # block_until_ready is not a reliable sync on every transport).
+        from coastline.utils.profiling import device_loop_seconds
+
         x0 = normalize_images(test_ds.images[: cfg.eval_batch_size])
-        jax.block_until_ready(infer(state.params, state.batch_stats, x0))
-        t0 = time.perf_counter()
-        jax.block_until_ready(infer(state.params, state.batch_stats, x0))
-        per_image_time = (time.perf_counter() - t0) / x0.shape[0]
+
+        def step(c, params, batch_stats, x):
+            xi = x * (1.0 + c * 1e-20)
+            y = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, xi, train=False
+            )
+            return c + y.mean().astype(jnp.float32)
+
+        sec = device_loop_seconds(
+            step, (state.params, state.batch_stats, x0), n_loop=5, trials=2
+        )
+        per_image_time = sec / x0.shape[0]
 
         _, agg = self._eval_epoch(
             state.params, state.batch_stats, test_ds.images, test_ds.masks, idx, valid
