@@ -47,7 +47,8 @@ class TrainConfig:
     weight_decay: float = 1e-4
     batch_size: int = 2
     eval_batch_size: int = 2
-    loss: str = "bce"  # bce (sigmoid models) | ce (2-class UNet)
+    loss: str = "bce"  # bce (sigmoid models) | ce (2-class UNet) | hsv_bce
+    hsv_weight: float = 0.1  # weight of the HSV-consistency term (hsv_bce)
     plateau_on: str = "train"  # train (Main_Final/Extended) | val (comne/production)
     plateau_patience: int = 5
     plateau_factor: float = 0.5
@@ -104,7 +105,7 @@ def create_train_state(model, config: TrainConfig, sample_shape=(1, 512, 512, 3)
     )
 
 
-def _compute_loss(model, config: TrainConfig, logits, masks, valid):
+def _compute_loss(model, config: TrainConfig, logits, masks, valid, rgb01=None):
     """Masked mean loss over valid samples only."""
     w = valid.astype(jnp.float32)
     denom = jnp.maximum(w.sum(), 1.0)
@@ -121,6 +122,14 @@ def _compute_loss(model, config: TrainConfig, logits, masks, valid):
             t = t[..., None]
         per = jnp.maximum(l, 0.0) - l * t + jnp.log1p(jnp.exp(-jnp.abs(l)))
         per_img = per.mean(axis=tuple(range(1, per.ndim)))
+        if config.loss == "hsv_bce" and rgb01 is not None:
+            from coastline.train.hsv import hsv_water_prior
+
+            prior = hsv_water_prior(rgb01)
+            probs = jax.nn.sigmoid(l[..., 0] if l.ndim == 4 else l)
+            conf = jnp.abs(2.0 * prior - 1.0)
+            cons = (conf * jnp.abs(probs - prior)).mean(axis=(1, 2))
+            per_img = per_img + config.hsv_weight * cons
     return (per_img * w).sum() / denom
 
 
@@ -149,12 +158,12 @@ def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] 
 
         rng = jax.random.fold_in(state.rng, state.step)
         drop_rng, aug_rng = jax.random.split(rng)
-        x = x_u8.astype(jnp.float32) / 255.0
+        x01 = x_u8.astype(jnp.float32) / 255.0
         if augment_fn is not None:
-            x, y = augment_fn(aug_rng, x, y)
+            x01, y = augment_fn(aug_rng, x01, y)
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        x = (x - mean) / std
+        x = (x01 - mean) / std
 
         def loss_fn(params):
             out, updates = model.apply(
@@ -165,7 +174,10 @@ def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] 
                 mutable=["batch_stats"],
                 rngs={"dropout": drop_rng},
             )
-            return _compute_loss(model, config, out, y, valid), updates["batch_stats"]
+            return (
+                _compute_loss(model, config, out, y, valid, x01),
+                updates["batch_stats"],
+            )
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -204,7 +216,8 @@ def make_eval_epoch(model, config: TrainConfig, mesh=None):
             train=False,
             return_logits=True,
         )
-        loss = _compute_loss(model, config, logits, y, valid)
+        loss = _compute_loss(model, config, logits, y, valid,
+                             x_u8.astype(jnp.float32) / 255.0)
         if config.loss == "ce":
             probs = jax.nn.softmax(logits, axis=-1)[..., 1]
         else:

@@ -45,8 +45,16 @@ def cross_entropy_loss(logits, targets):
     return (logz - picked).mean()
 
 
+def _hsv_guided_bce(*args, **kwargs):
+    from coastline.train.hsv import hsv_guided_bce
+
+    return hsv_guided_bce(*args, **kwargs)
+
+
 LOSS_REGISTRY: Dict[str, Callable] = {
     "bce": bce_loss,
     "bce_probs": bce_on_probs,
     "ce": cross_entropy_loss,
+    "hsv_bce": _hsv_guided_bce,  # the HSV-guided term the reference cites
+                                 # but never implemented (SURVEY.md §0)
 }

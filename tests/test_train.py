@@ -137,3 +137,43 @@ def test_labelme_roundtrip(tmp_path):
     # water fraction should be substantial (lower half-ish of each frame)
     frac = float(jnp.mean(ds.masks.astype(jnp.float32)))
     assert 0.3 < frac < 0.8
+
+
+def test_hsv_guided_loss():
+    """The HSV-guided term the reference cites but never implemented: at
+    weight 0 it equals BCE exactly; the prior scores dark blue water high."""
+    import matplotlib.colors as mcolors
+
+    from coastline.train.hsv import hsv_guided_bce, hsv_water_prior, rgb_to_hsv
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((5, 6, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(rgb_to_hsv(jnp.asarray(rgb))), mcolors.rgb_to_hsv(rgb), atol=1e-5
+    )
+
+    water = jnp.broadcast_to(jnp.asarray([0.10, 0.18, 0.32]), (1, 4, 4, 3))
+    sand = jnp.broadcast_to(jnp.asarray([0.85, 0.75, 0.55]), (1, 4, 4, 3))
+    assert float(hsv_water_prior(water).mean()) > 0.6
+    assert float(hsv_water_prior(sand).mean()) < 0.2
+
+    logits = jnp.asarray(rng.normal(size=(1, 4, 4, 1)), jnp.float32)
+    targets = jnp.ones((1, 4, 4, 1))
+    from coastline.train.losses import bce_loss
+
+    assert float(hsv_guided_bce(logits, targets, water, weight=0.0)) == float(
+        bce_loss(logits, targets)
+    )
+    assert float(hsv_guided_bce(logits, targets, water, weight=0.5)) >= 0.0
+
+
+def test_hsv_bce_trains():
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.fastscnn import FastSCNN
+    from coastline.train.loop import Evaluator, TrainConfig
+
+    ds = synthetic_device_dataset(4, size=32, seed=0)
+    ev = Evaluator(FastSCNN(), TrainConfig(epochs=2, batch_size=4, eval_batch_size=4,
+                                           lr=1e-3, loss="hsv_bce", log_every=10))
+    out = ev.train_model(ds, ds, verbose=False)
+    assert out["history"]["train_loss"][-1] < out["history"]["train_loss"][0]
