@@ -50,6 +50,8 @@ def main(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--error-maps", action="store_true",
                    help="also render per-model error maps (Extended protocol)")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard batches over N devices (0 = single chip)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -85,6 +87,13 @@ def main(argv=None):
         train_ds, val_ds = out
         print(f"Found {len(train_ds) + len(val_ds)} valid image-label pairs")
 
+    mesh = None
+    if args.data_parallel:
+        from coastline.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+        print(f"data-parallel over {args.data_parallel} devices")
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     names = [m.strip() for m in args.models.split(",") if m.strip()]
     results, histories, param_counts, predictions = {}, {}, {}, {}
@@ -108,7 +117,7 @@ def main(argv=None):
         )
         print(f"\n{'=' * 40}\nTraining {name}... "
               f"({param_counts[name]:,} params, {epochs} epochs)")
-        ev = Evaluator(model, cfg)
+        ev = Evaluator(model, cfg, mesh=mesh)
         tr = ev.train_model(train_ds, val_ds)
         histories[name] = tr["history"]
         print(f"Best IoU during training: {tr['best_iou']:.4f}")

@@ -129,7 +129,9 @@ class SpatialAttention(nn.Module):
         att = jnp.concatenate([avg, mx], axis=-1)
         att = Conv(1, self.kernel_size, padding=self.kernel_size // 2,
                    use_bias=False, init=self.conv_init, dtype=self.dtype)(att)
-        return x * jax.nn.sigmoid(att.astype(jnp.float32)).astype(x.dtype)
+        # gate sigmoid stays in compute dtype: an f32 round-trip here costs
+        # three full passes over the (N,H,W,1) map at full resolution
+        return x * jax.nn.sigmoid(att)
 
 
 class AttentionGate(nn.Module):
