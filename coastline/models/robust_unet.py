@@ -29,41 +29,49 @@ class RobustUNet(nn.Module):
     n_classes: int = 1
     base: int = 64
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize residual blocks in backward: trades
+                         # recompute FLOPs for activation memory. Train
+                         # throughput saturates by B=8 on one v5e chip, so
+                         # this matters for higher resolutions, not batch;
+                         # B=32 @ 512^2 still exceeds 16GB HBM (the
+                         # attention-gate/skip activations dominate) —
+                         # shard over the mesh instead.
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
         b, dt, init = self.base, self.dtype, "kaiming_out"
+        RB = nn.remat(ResidualBlock, static_argnums=(2,)) if self.remat else ResidualBlock
         x = x.astype(dt)
 
         # Encoder
-        x1 = ResidualBlock(b, 0.1, init, dt)(x, train)            # (H, W, 64)
-        x2 = ResidualBlock(b * 2, 0.1, init, dt)(max_pool(x1), train)   # /2
-        x3 = ResidualBlock(b * 4, 0.2, init, dt)(max_pool(x2), train)   # /4
-        x4 = ResidualBlock(b * 8, 0.2, init, dt)(max_pool(x3), train)   # /8
+        x1 = RB(b, 0.1, init, dt)(x, train)            # (H, W, 64)
+        x2 = RB(b * 2, 0.1, init, dt)(max_pool(x1), train)   # /2
+        x3 = RB(b * 4, 0.2, init, dt)(max_pool(x2), train)   # /4
+        x4 = RB(b * 8, 0.2, init, dt)(max_pool(x3), train)   # /8
 
         # Bottleneck with dilated multi-scale context
         x5 = DilatedBlock(b * 16, init, dt)(max_pool(x4), train)         # /16
-        x5 = ResidualBlock(b * 16, 0.3, init, dt)(x5, train)
+        x5 = RB(b * 16, 0.3, init, dt)(x5, train)
 
         # Decoder with attention-gated skips
         d = ConvTranspose(b * 8, 2, 2, dtype=dt)(x5)
         skip = AttentionGate(b * 4, init, dt)(d, x4, train)
-        d = ResidualBlock(b * 8, 0.2, init, dt)(
+        d = RB(b * 8, 0.2, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         d = ConvTranspose(b * 4, 2, 2, dtype=dt)(d)
         skip = AttentionGate(b * 2, init, dt)(d, x3, train)
-        d = ResidualBlock(b * 4, 0.2, init, dt)(
+        d = RB(b * 4, 0.2, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         d = ConvTranspose(b * 2, 2, 2, dtype=dt)(d)
         skip = AttentionGate(b, init, dt)(d, x2, train)
-        d = ResidualBlock(b * 2, 0.1, init, dt)(
+        d = RB(b * 2, 0.1, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         d = ConvTranspose(b, 2, 2, dtype=dt)(d)
         skip = AttentionGate(b // 2, init, dt)(d, x1, train)
-        d = ResidualBlock(b, 0.1, init, dt)(
+        d = RB(b, 0.1, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         logits = Conv(self.n_classes, 1, init=init, dtype=dt)(d).astype(jnp.float32)

@@ -177,3 +177,45 @@ def test_hsv_bce_trains():
                                            lr=1e-3, loss="hsv_bce", log_every=10))
     out = ev.train_model(ds, ds, verbose=False)
     assert out["history"]["train_loss"][-1] < out["history"]["train_loss"][0]
+
+
+def test_seeded_split_matches_sklearn():
+    """The production split protocol (train_water_segmentation.py:810-812)
+    must match sklearn train_test_split(random_state=42) exactly — element
+    order and membership."""
+    from sklearn.model_selection import train_test_split
+
+    from coastline.data.pipeline import seeded_split
+
+    items = [f"item{i}" for i in range(23)]
+    ref_train, ref_test = train_test_split(
+        items, test_size=0.2, random_state=42, shuffle=True
+    )
+    got_train, got_test = seeded_split(items, test_size=0.2, seed=42)
+    assert got_train == ref_train and got_test == ref_test
+
+
+def test_augmentation_keeps_image_mask_alignment():
+    """Default augmentation must rotate/flip image AND mask together (the
+    reference's bug leaves the mask behind — image_only_geometric=True)."""
+    from coastline.data.augment import make_augment_fn
+    from coastline.data.synthetic import make_scene
+
+    img, mask, _ = make_scene(np.random.default_rng(3), size=64)
+    images = jnp.asarray(img, jnp.float32)[None] / 255.0
+    masks = jnp.asarray(mask)[None]
+
+    aug = make_augment_fn(max_rotate_deg=10.0, flip_prob=1.0, jitter=0.0)
+    out_img, out_mask = aug(jax.random.PRNGKey(7), images, masks)
+
+    # water is the dark region; thresholding recovers it from the image
+    darkness = out_img.mean(axis=-1)[0] < 0.35
+    water = np.asarray(out_mask[0]) > 0
+    inter = np.logical_and(darkness, water).sum()
+    union = np.logical_or(darkness, water).sum()
+    assert inter / union > 0.8, "mask no longer aligned with rotated image"
+
+    # strict-parity mode: mask untouched while image flipped/rotated
+    aug_ref = make_augment_fn(flip_prob=1.0, jitter=0.0, image_only_geometric=True)
+    _, mask_ref = aug_ref(jax.random.PRNGKey(7), images, masks)
+    np.testing.assert_array_equal(np.asarray(mask_ref[0]), mask)
