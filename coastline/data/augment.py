@@ -12,9 +12,6 @@ reproduces the reference's behavior for strict protocol parity.
 Images are (N,H,W,3) floats in [0,1] (pre-normalization); masks (N,H,W).
 """
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,7 @@ pipelines where the percentiles are precomputed.
 """
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -46,8 +46,17 @@ class DeviceDataset:
 
 
 def load_image_rgb(path: str, fallback_size=(512, 512)) -> Image.Image:
-    """RGB loader with the reference's gray-fallback (`Main_Final.py:56-60`)."""
+    """RGB loader with the reference's gray-fallback (`Main_Final.py:56-60`).
+
+    Raw GeoTIFFs route through the NIR-R-G water-enhancement ingest, the
+    production dataset's behavior
+    (`train_water_segmentation.py:89-101,103-174`)."""
     try:
+        if path.lower().endswith((".tif", ".tiff")):
+            from coastline.data.geotiff import load_tif_enhanced
+
+            rgb, _ = load_tif_enhanced(path)
+            return Image.fromarray(rgb)
         return Image.open(path).convert("RGB")
     except Exception:
         return Image.new("RGB", fallback_size, (128, 128, 128))
@@ -69,12 +78,18 @@ def load_pair(
     return np.asarray(image, np.uint8), np.asarray(mask_img, np.uint8)
 
 
-def pair_files(images_dir: str, labels_dir: str) -> Tuple[List[str], List[str]]:
+def pair_files(
+    images_dir: str,
+    labels_dir: str,
+    extensions: Tuple[str, ...] = (".png", ".jpg", ".jpeg"),
+) -> Tuple[List[str], List[str]]:
     """Sorted-filename pairing of images with same-stem Labelme JSONs
-    (`Main_Final.py:671-686`)."""
+    (`Main_Final.py:671-686`). The comparison protocol pairs PNG/JPEG only;
+    pass extensions=(..., '.tif', '.tiff') for the production trainer's
+    raw-GeoTIFF intake (enhanced on load, train_water_segmentation.py:90-92)."""
     image_files, label_files = [], []
     for name in sorted(os.listdir(images_dir)):
-        if name.lower().endswith((".png", ".jpg", ".jpeg")):
+        if name.lower().endswith(extensions):
             stem = os.path.splitext(name)[0]
             label = os.path.join(labels_dir, f"{stem}.json")
             if os.path.exists(label):

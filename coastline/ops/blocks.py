@@ -11,7 +11,7 @@ every conv it owns (`/root/reference/Main_Final.py:282-288`) while other
 models keep the torch layer default.
 """
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

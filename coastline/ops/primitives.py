@@ -19,7 +19,7 @@ Parity notes (each against the reference's torch usage):
     align_corners=False)` (half-pixel centers), via jax.image.resize.
 """
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

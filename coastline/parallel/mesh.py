@@ -15,7 +15,7 @@ An outer `dcn` axis can be prepended for future multi-slice without
 touching call sites (mesh axes are addressed by name throughout).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

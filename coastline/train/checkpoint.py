@@ -11,7 +11,6 @@ equivalent to the reference's .pth artifact.
 import os
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

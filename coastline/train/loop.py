@@ -21,9 +21,9 @@ Capability parity with `ModelEvaluator` (`/root/reference/Main_Final.py:
 
 import math
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +32,8 @@ import optax
 from flax import struct
 
 from coastline.data.pipeline import IMAGENET_MEAN, IMAGENET_STD, DeviceDataset
-from coastline.train.losses import bce_loss, cross_entropy_loss
 from coastline.train.lr import PlateauState, plateau_init, plateau_update
-from coastline.train.metrics import aggregate_metrics, per_image_metrics
+from coastline.train.metrics import per_image_metrics
 
 
 @dataclass(frozen=True)

@@ -17,8 +17,7 @@ are full-state Orbax (resume capability the reference lacks).
 import os
 import pickle
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
@@ -104,7 +103,10 @@ class WaterSegmentationTrainer:
 
     # ---------------------------------------------------------------- data
     def prepare_dataset(self, images_dir, labels_dir) -> Tuple[DeviceDataset, DeviceDataset]:
-        imgs, lbls = pair_files(images_dir, labels_dir)
+        imgs, lbls = pair_files(
+            images_dir, labels_dir,
+            extensions=(".png", ".jpg", ".jpeg", ".tif", ".tiff"),
+        )
         imgs, lbls = quality_gate_pairs(imgs, lbls, self.config.min_image_px)
         pairs = list(zip(imgs, lbls))
         train_pairs, val_pairs = seeded_split(pairs, test_size=0.2, seed=42)

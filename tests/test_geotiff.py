@@ -89,3 +89,34 @@ def test_pil_tiff_backend_roundtrip(tmp_path):
     bands, meta = read_bands(path)
     assert bands.shape == (5, 20, 30)
     assert meta["bands_count"] == 5
+
+
+def test_training_dataset_accepts_raw_tifs(tmp_path):
+    """Production-dataset capability (train_water_segmentation.py:90-92):
+    raw multi-band TIFFs load with water enhancement applied."""
+    import json
+
+    from PIL import Image
+
+    from coastline.data.pipeline import build_dataset, pair_files
+
+    rng = np.random.default_rng(0)
+    frames = [Image.fromarray(rng.integers(0, 255, (40, 50), dtype=np.uint8))
+              for _ in range(5)]
+    img_dir = tmp_path / "imgs"
+    lbl_dir = tmp_path / "lbls"
+    img_dir.mkdir(), lbl_dir.mkdir()
+    frames[0].save(str(img_dir / "a.tif"), save_all=True, append_images=frames[1:])
+    with open(lbl_dir / "a.json", "w") as f:
+        json.dump({"shapes": [{"label": "water",
+                               "points": [[0, 0], [20, 0], [20, 20]]}]}, f)
+
+    imgs, lbls = pair_files(str(img_dir), str(lbl_dir),
+                            extensions=(".png", ".tif", ".tiff"))
+    assert len(imgs) == 1
+    ds = build_dataset(imgs, lbls, (32, 32))
+    assert ds.images.shape == (1, 32, 32, 3)
+    assert ds.masks.sum() > 0
+    # comparison protocol still ignores TIFs by default
+    imgs_default, _ = pair_files(str(img_dir), str(lbl_dir))
+    assert imgs_default == []
