@@ -138,27 +138,59 @@ class ConvTranspose(nn.Module):
         return y
 
 
-class Norm(nn.Module):
-    """BatchNorm with torch semantics: momentum 0.1, eps 1e-5.
+class _FastBatchNorm(nn.Module):
+    """BatchNorm core with torch semantics (momentum 0.1, eps 1e-5).
 
-    Batch statistics are computed in float32 during training (TPU best
-    practice — bf16 accumulations drift). At inference the running stats are
-    constants, so normalization is a per-channel affine and runs in the
-    compute dtype: no f32 round-trips on the bfloat16 fast path.
+    Statistics (batch mean/var, running stats, the per-channel affine) are
+    float32; the whole-tensor normalize applies a precomputed per-channel
+    scale/shift in the compute dtype. Compared to casting the tensor to f32
+    around a stock BatchNorm this halves the elementwise HBM traffic — BN
+    math was the largest non-conv cost in the profiled train step. Variable
+    names/shapes match flax nn.BatchNorm exactly (params {scale, bias},
+    batch_stats {mean, var}) so checkpoints and the torch importer are
+    unaffected.
     """
+
+    momentum: float = 0.9  # flax convention: new = m*old + (1-m)*batch
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)  # cast fuses into the reductions
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias - mean * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """BatchNorm wrapper: torch semantics, f32 statistics, compute-dtype
+    normalization (see _FastBatchNorm)."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn_dtype = jnp.float32 if train else self.dtype
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,  # flax convention: new = m*old + (1-m)*batch
-            epsilon=1e-5,
-            dtype=bn_dtype,
-            param_dtype=jnp.float32,
-        )(x.astype(bn_dtype))
+        y = _FastBatchNorm(name="BatchNorm_0")(
+            x.astype(self.dtype), use_running_average=not train
+        )
         return y.astype(self.dtype)
 
 
