@@ -27,6 +27,7 @@ REFERENCE_EPOCHS = {
     "Fast-SCNN": 25,
     "ENet": 20,
 }
+COMNE_MODELS = ("SegNet", "PSPNet", "Fast-SCNN", "ENet")
 DEFAULT_BENCH_MODELS = [
     "Robust UNet", "DeepLabV3+", "YOLO-SEG", "SegNet", "PSPNet", "Fast-SCNN",
     "ENet", "WaterNet", "MSWNet", "HRNet-Water", "SegFormer-Lite",
@@ -144,6 +145,15 @@ def main(argv=None):
     plot_training_curves(histories, os.path.join(args.out_dir, "training_curves.png"))
     plot_comparison(results, os.path.join(args.out_dir, "coastal_comparison.png"))
     plot_extended_comparison(results, os.path.join(args.out_dir, "extended_comparison.png"))
+    # The comne script family emits its own artifact names for the
+    # remote-sensing model subset (`/root/reference/comne.py:815-925`):
+    comne_results = {k: v for k, v in results.items() if k in COMNE_MODELS}
+    if comne_results:
+        plot_training_curves(
+            {k: v for k, v in histories.items() if k in COMNE_MODELS},
+            os.path.join(args.out_dir, "training_curves_rs.png"),
+        )
+        plot_comparison(comne_results, os.path.join(args.out_dir, "rs_comparison.png"))
     if args.error_maps and predictions:
         import numpy as np
 

@@ -142,6 +142,22 @@ def normalize_for_display(rgb: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def compute_ndwi(path: str):
+    """NDWI = (green - nir) / (green + nir + 1e-8) from raster bands 4 (NIR)
+    and 2 (green), GDAL 1-indexed — `predict_coastline.py:789-800`. Returns
+    an (H, W) float array, or None when the raster has < 4 bands or cannot
+    be read."""
+    try:
+        bands, meta = read_bands(path)
+    except Exception:
+        return None
+    if meta.get("bands_count", bands.shape[0]) < 4 or bands.shape[0] < 4:
+        return None
+    nir = bands[3].astype(np.float64)
+    green = bands[1].astype(np.float64)
+    return (green - nir) / (green + nir + 1e-8)
+
+
 def load_tif_enhanced(path: str) -> Tuple[np.ndarray, dict]:
     """Full ingest: bands -> water combo -> enhancement. Returns (H,W,3)
     uint8 + metadata (the model-input path, predict_coastline.py:425-471)."""

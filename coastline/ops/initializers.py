@@ -35,6 +35,22 @@ def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     return random.uniform(key, shape, dtype, -bound, bound)
 
 
+def torch_convt_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch ConvTranspose2d default kernel init.
+
+    torch stores the ConvT weight as (in, out, kh, kw) and its
+    _calculate_fan_in_and_fan_out takes fan_in from dim 1 — i.e. the
+    *output*-channel count times the receptive field. For an NHWC
+    (kh, kw, in, out) kernel that is shape[-1] * kh * kw, not shape[-2]
+    (which `torch_conv_kernel_init` uses and which is correct only for
+    forward convs).
+    """
+    receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    fan_in = shape[-1] * receptive
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return random.uniform(key, shape, dtype, -bound, bound)
+
+
 def torch_bias_init_for(fan_in):
     """PyTorch layer-default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
 

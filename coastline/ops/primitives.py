@@ -31,6 +31,7 @@ from coastline.ops.initializers import (
     kaiming_normal_fanout,
     torch_bias_init_for,
     torch_conv_kernel_init,
+    torch_convt_kernel_init,
 )
 
 Ints = Union[int, Tuple[int, int]]
@@ -116,7 +117,7 @@ class ConvTranspose(nn.Module):
         fan_in = self.features * kh * kw  # torch convT fan_in uses out-channels
         kernel = self.param(
             "kernel",
-            torch_conv_kernel_init,
+            torch_convt_kernel_init,
             (kh, kw, in_ch, self.features),
             jnp.float32,
         )

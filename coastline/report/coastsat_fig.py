@@ -84,7 +84,31 @@ def create_analysis_figure(result: dict, output_dir: str, image=None):
     ax.set_xlabel("coastline #")
 
     ax = fig.add_subplot(gs[2, 2:4])
-    if image is not None:
+    ndwi = None
+    if str(result["image_path"]).lower().endswith((".tif", ".tiff")):
+        from coastline.data.geotiff import compute_ndwi
+
+        ndwi = compute_ndwi(result["image_path"])
+    if ndwi is not None:
+        # water vs non-water NDWI densities (predict_coastline.py:789-815)
+        wm = np.asarray(water)
+        if wm.shape != ndwi.shape:
+            from PIL import Image as _Image
+
+            wm = np.asarray(
+                _Image.fromarray((wm > 0).astype(np.uint8)).resize(
+                    (ndwi.shape[1], ndwi.shape[0]), _Image.NEAREST
+                )
+            )
+        ax.hist(ndwi[wm == 0].ravel(), bins=50, alpha=0.5, color="brown",
+                label="non-water", density=True)
+        ax.hist(ndwi[wm > 0].ravel(), bins=50, alpha=0.7, color="blue",
+                label="water", density=True)
+        ax.set_xlabel("NDWI")
+        ax.set_ylabel("density")
+        ax.set_title("Water index (NDWI) distribution")
+        ax.legend()
+    elif image is not None:
         arr = np.asarray(image)
         for ch, color in zip(range(3), ("red", "green", "blue")):
             ax.hist(arr[..., ch].ravel(), bins=64, histtype="step", color=color)

@@ -247,12 +247,21 @@ def make_eval_epoch(model, config: TrainConfig, mesh=None):
 
 def batch_indices(n: int, batch_size: int, *, shuffle: bool, rng: np.random.Generator):
     """Fixed-shape (num_batches, B) index + validity arrays covering all n
-    samples (last batch padded by repeating index 0, masked invalid)."""
+    samples.
+
+    The last batch is padded wrap-around with the FIRST samples of the order
+    (distinct real images, masked invalid) rather than repeats of index 0:
+    losses/metrics ignore padding via the validity mask, and the padding that
+    unavoidably enters BatchNorm batch statistics in train mode is then real
+    -image statistics. Residual deviation vs the reference's torch DataLoader
+    (which trains on a SHORT last batch, so its BN sees fewer samples) is
+    documented here; it vanishes when batch_size divides the dataset.
+    """
     order = rng.permutation(n) if shuffle else np.arange(n)
     num_batches = (n + batch_size - 1) // batch_size
-    padded = np.zeros(num_batches * batch_size, dtype=np.int32)
-    valid = np.zeros(num_batches * batch_size, dtype=np.float32)
-    padded[:n] = order
+    total = num_batches * batch_size
+    padded = order[np.arange(total) % n].astype(np.int32)
+    valid = np.zeros(total, dtype=np.float32)
     valid[:n] = 1.0
     return (
         padded.reshape(num_batches, batch_size),
@@ -365,7 +374,7 @@ class Evaluator:
             return c + y.mean().astype(jnp.float32)
 
         sec = device_loop_seconds(
-            step, (state.params, state.batch_stats, x0), n_loop=5, trials=2
+            step, (state.params, state.batch_stats, x0), n_loop=20, trials=2
         )
         per_image_time = sec / x0.shape[0]
 

@@ -128,15 +128,22 @@ class WaterSegmentationTrainer:
                 logits = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x, train=False
                 )
+                # The reference's torch DataLoader yields a SHORT last batch;
+                # here batches are fixed-shape with index-0 padding, so every
+                # reduction is masked per-sample by bvalid — otherwise the
+                # duplicated padding samples bias loss/acc/IoU and with them
+                # plateau stepping and best-IoU selection.
+                w = bvalid.astype(jnp.float32)
+                n_valid = jnp.maximum(w.sum(), 1.0)
                 logz = jax.nn.logsumexp(logits, axis=-1)
                 picked = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]
-                loss = (logz - picked).mean()
+                loss = ((logz - picked).mean(axis=(1, 2)) * w).sum() / n_valid
                 pred = jnp.argmax(logits, axis=-1)
-                acc = (pred == y).mean()
-                # batch-level IoU with union==0 -> 1.0
+                acc = ((pred == y).mean(axis=(1, 2)) * w).sum() / n_valid
+                # batch-level IoU over valid samples, union==0 -> 1.0
                 # (train_water_segmentation.py:341-358,388)
-                inter = jnp.sum((pred == 1) & (y == 1))
-                union = jnp.sum((pred == 1) | (y == 1))
+                inter = (jnp.sum((pred == 1) & (y == 1), axis=(1, 2)) * w).sum()
+                union = (jnp.sum((pred == 1) | (y == 1), axis=(1, 2)) * w).sum()
                 iou = jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1))
                 return None, (loss, acc, iou, bvalid.max())
 

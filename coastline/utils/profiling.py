@@ -17,6 +17,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -40,19 +41,47 @@ def measure_dispatch_rtt(trials: int = 3) -> float:
 
 
 def device_loop_seconds(step_fn, args, n_loop: int = 20, trials: int = 3,
-                        rtt: float = None) -> float:
-    """step_fn(carry_f32_scalar, *args) -> carry. Returns s/iteration."""
+                        rtt: float = None, target_ratio: float = 20.0,
+                        max_loop: int = 20_000) -> float:
+    """step_fn(carry_f32_scalar, *args) -> carry. Returns s/iteration.
+
+    The loop count auto-scales until the on-device loop time is at least
+    `target_ratio` x the dispatch RTT — for a sub-millisecond step behind a
+    ~30 ms transport, a fixed short loop measures pure RTT noise (this was
+    exactly the round-1 "0.00 ms" latency bug). One recalibration recompile
+    at most.
+    """
     if rtt is None:
         rtt = measure_dispatch_rtt()
 
-    @jax.jit
-    def loop(*a):
-        return lax.scan(
-            lambda c, _: (step_fn(c, *a), None),
-            jnp.zeros((), jnp.float32), None, length=n_loop,
-        )[0]
+    def make_loop(n):
+        @jax.jit
+        def loop(*a):
+            return lax.scan(
+                lambda c, _: (step_fn(c, *a), None),
+                jnp.zeros((), jnp.float32), None, length=n,
+            )[0]
+        return loop
 
+    loop = make_loop(n_loop)
     float(loop(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(*args))
+    t = time.perf_counter() - t0
+
+    needed = target_ratio * rtt
+    if t - rtt < needed:
+        # Estimate per-iteration time. The floor of t/(10*n) guards against
+        # a noisy-high RTT making (t - rtt) collapse: it bounds the scaled
+        # loop's single blocking dispatch to ~10x `needed` even in the worst
+        # case (long blocking calls can wedge the TPU tunnel).
+        per_iter = max((t - rtt) / n_loop, t / (10.0 * n_loop), 1e-7)
+        scaled = min(max_loop, int(np.ceil(needed / per_iter)))
+        if scaled > n_loop:
+            n_loop = scaled
+            loop = make_loop(n_loop)
+            float(loop(*args))
+
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()

@@ -97,3 +97,24 @@ def test_conv_padding_and_dilation_shapes():
         )
         expected = (32 + 2 * p - d * (k - 1) - 1) // s + 1
         assert out.shape == (1, expected, expected, 4), (k, s, p, d, out.shape)
+
+
+def test_conv_transpose_init_matches_torch_fan_in():
+    """torch ConvTranspose2d kaiming_uniform fan_in = out_ch * kh * kw
+    (weight dim 1), NOT in_ch * kh * kw — ADVICE r1."""
+    from coastline.ops.initializers import torch_convt_kernel_init
+
+    in_ch, out_ch, k = 128, 64, 2
+    kernel = torch_convt_kernel_init(
+        jax.random.PRNGKey(0), (k, k, in_ch, out_ch), jnp.float32
+    )
+    bound = 1.0 / np.sqrt(out_ch * k * k)
+    assert float(jnp.abs(kernel).max()) <= bound + 1e-7
+    # and it actually fills the correct range (would fail with the conv
+    # fan_in = in_ch*k*k, whose bound is sqrt(2) smaller here)
+    assert float(jnp.abs(kernel).max()) > bound * 0.9
+
+    torch.manual_seed(0)
+    m = torch.nn.ConvTranspose2d(in_ch, out_ch, k, stride=2)
+    tb = float(m.weight.detach().abs().max())
+    assert tb <= bound + 1e-7 and tb > bound * 0.9

@@ -96,3 +96,46 @@ def test_coastsat_figure(tmp_path):
     img = Image.new("RGB", (64, 64), (80, 90, 100))
     path = create_analysis_figure(result, str(tmp_path), img)
     assert os.path.getsize(path) > 10_000
+
+
+def test_coastsat_figure_ndwi_panel(tmp_path):
+    """>=4-band TIF source -> the analysis figure renders the water vs
+    non-water NDWI density panel (predict_coastline.py:789-815)."""
+    import numpy as np
+    from PIL import Image
+
+    from coastline.data.geotiff import compute_ndwi
+    from coastline.report.coastsat_fig import create_analysis_figure
+
+    rng = np.random.default_rng(3)
+    h, w = 40, 50
+    water = np.zeros((h, w), np.uint8)
+    water[25:, :] = 1
+    # NIR dark over water, green bright over water -> NDWI separates
+    nir = np.where(water > 0, 20, 180).astype(np.uint8)
+    green = np.where(water > 0, 160, 90).astype(np.uint8)
+    other = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    frames = [Image.fromarray(b) for b in (other, green, other, nir, other)]
+    tif = str(tmp_path / "scene.tif")
+    frames[0].save(tif, save_all=True, append_images=frames[1:])
+
+    ndwi = compute_ndwi(tif)
+    assert ndwi is not None and ndwi.shape == (h, w)
+    assert ndwi[water > 0].mean() > 0 > ndwi[water == 0].mean()
+
+    result = {
+        "image_path": tif,
+        "water_mask": water,
+        "coastline_mask": np.zeros((h, w), np.uint8),
+        "coastlines": [[[0, 25], [w - 1, 25]]],
+        "coastline_count": 1,
+        "image_size": [w, h],
+        "extraction_time": "2026-08-16T00:00:00",
+    }
+    path = create_analysis_figure(result, str(tmp_path))
+    assert os.path.exists(path)
+
+    # < 4 bands -> no NDWI
+    frames[0].save(str(tmp_path / "rgb.tif"), save_all=True,
+                   append_images=frames[1:3])
+    assert compute_ndwi(str(tmp_path / "rgb.tif")) is None

@@ -219,3 +219,21 @@ def test_augmentation_keeps_image_mask_alignment():
     aug_ref = make_augment_fn(flip_prob=1.0, jitter=0.0, image_only_geometric=True)
     _, mask_ref = aug_ref(jax.random.PRNGKey(7), images, masks)
     np.testing.assert_array_equal(np.asarray(mask_ref[0]), mask)
+
+
+def test_batch_indices_wraparound_padding():
+    """Padding samples are distinct wrap-around indices (not repeats of
+    index 0) so train-mode BN statistics see real images; validity still
+    masks exactly the first n slots."""
+    from coastline.train.loop import batch_indices
+
+    idx, valid = batch_indices(5, 2, shuffle=False, rng=np.random.default_rng(0))
+    assert idx.shape == (3, 2) and valid.shape == (3, 2)
+    np.testing.assert_array_equal(idx.reshape(-1), [0, 1, 2, 3, 4, 0])
+    np.testing.assert_array_equal(valid.reshape(-1), [1, 1, 1, 1, 1, 0])
+
+    idx, valid = batch_indices(7, 4, shuffle=True, rng=np.random.default_rng(1))
+    flat = idx.reshape(-1)
+    assert sorted(flat[:7].tolist()) == list(range(7))
+    assert flat[7] == flat[0]  # wrap-around, not a constant 0
+    np.testing.assert_array_equal(valid.reshape(-1)[7:], [0])

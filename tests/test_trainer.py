@@ -75,3 +75,50 @@ def test_trainer_short_run(tmp_path):
     ex = CoastlineExtractor(variables=payload, image_size=32)
     masks = ex.predict_masks_batch(np.asarray(val_ds.images[:2]))
     assert masks.shape == (2, 32, 32)
+
+
+def test_validate_masks_padded_samples():
+    """A padded last validation batch must not bias metrics: validate() on
+    n=3 with batch_size=2 (one padding slot) must equal the same metrics
+    computed over torch-DataLoader-style natural batches [2, 1]
+    (reference semantics: train_water_segmentation.py:360-399)."""
+    import jax
+    import jax.numpy as jnp
+
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.train.loop import TrainConfig, batch_indices, create_train_state, normalize_images
+    from coastline.train.trainer import TrainerConfig, WaterSegmentationTrainer
+
+    cfg = TrainerConfig(image_size=32, batch_size=2)
+    trainer = WaterSegmentationTrainer(cfg)
+    ds = synthetic_device_dataset(3, size=32, seed=7)
+    state = create_train_state(trainer.model, TrainConfig(loss="ce"), (1, 32, 32, 3))
+    validate = trainer._make_validate()
+
+    idx, valid = batch_indices(3, 2, shuffle=False, rng=np.random.default_rng(0))
+    loss, acc, iou = validate(
+        state.params, state.batch_stats, ds.images, ds.masks,
+        jnp.asarray(idx), jnp.asarray(valid),
+    )
+
+    # Natural short batches, batch-level metrics averaged over batches.
+    ref_loss, ref_acc, ref_iou, nb = 0.0, 0.0, 0.0, 0
+    for sl in (slice(0, 2), slice(2, 3)):
+        x = normalize_images(ds.images[sl])
+        y = jnp.asarray(ds.masks[sl], jnp.int32)
+        logits = trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
+        )
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]
+        ref_loss += float((logz - picked).mean())
+        pred = jnp.argmax(logits, axis=-1)
+        ref_acc += float((pred == y).mean())
+        inter = float(jnp.sum((pred == 1) & (y == 1)))
+        union = float(jnp.sum((pred == 1) | (y == 1)))
+        ref_iou += 1.0 if union == 0 else inter / union
+        nb += 1
+
+    assert abs(float(loss) - ref_loss / nb) < 1e-5
+    assert abs(float(acc) - ref_acc / nb) < 1e-5
+    assert abs(float(iou) - ref_iou / nb) < 1e-5
