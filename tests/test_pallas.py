@@ -47,3 +47,36 @@ def test_channel_attention_pallas_flag(monkeypatch):
     # on CPU the flag is inert (tpu-only guard), output identical
     out = mod.apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+
+@pytest.mark.parametrize("size", [3, 5, 20, 41])
+def test_pallas_dilate_matches_cv2(size):
+    """Shift-max disk dilation == cv2.dilate exactly (binary masks)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from coastline.infer.morphology import elliptical_kernel
+    from coastline.pallas.morphology import dilate_disk
+
+    rng = np.random.default_rng(size)
+    mask = (rng.random((64, 96)) < 0.05).astype(np.uint8)
+    ker = elliptical_kernel(size)
+    ref = cv2.dilate(mask, ker, iterations=1)
+    out = np.asarray(dilate_disk(mask, ker, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_dilate_batch_and_grayscale():
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from coastline.infer.morphology import elliptical_kernel
+    from coastline.pallas.morphology import dilate_disk
+
+    rng = np.random.default_rng(0)
+    ker = elliptical_kernel(7)
+    batch = rng.integers(0, 255, (3, 40, 40), dtype=np.uint8)
+    out = np.asarray(dilate_disk(batch, ker, interpret=True))
+    for i in range(3):
+        ref = cv2.dilate(batch[i], ker, iterations=1)
+        np.testing.assert_array_equal(out[i], ref)

@@ -64,3 +64,73 @@ def test_dp_step_matches_single_device():
     _, loss2 = epoch2(state2, images, masks, idx, valid)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_spatial_sharding_matches_single_device():
+    """A conv model forward under space=2 spatial sharding must equal the
+    single-device result: GSPMD's halo exchange for convolutions is
+    numerics-preserving. Guards against silently-wrong tile seams
+    (parallel/mesh.py 'space' axis claim)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.yoloseg import YOLOSeg
+    from coastline.parallel.mesh import make_mesh
+
+    size, n = 64, 4
+    ds = synthetic_device_dataset(n, size=size, seed=3)
+    x = jnp.asarray(ds.images, jnp.float32) / 255.0
+
+    model = YOLOSeg()
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+    ref = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, x)
+
+    mesh = make_mesh(8, space=2)
+    xsh = NamedSharding(mesh, P("data", "space"))
+
+    @jax.jit
+    def fwd(v, xx):
+        xx = jax.lax.with_sharding_constraint(xx, xsh)
+        return model.apply(v, xx, train=False)
+
+    out = fwd(jax.device_put(variables, NamedSharding(mesh, P())), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_spatial_sharding_uneven_height():
+    """Uneven H (not divisible by the space axis): GSPMD pads internally;
+    dilated + strided convs at the ragged seam must still match."""
+    from flax import linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coastline.ops.primitives import Conv
+    from coastline.parallel.mesh import make_mesh
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = Conv(8, 3, 1, 1)(x)
+            x = jax.nn.relu(x)
+            x = Conv(8, 3, 1, 2, dilation=2)(x)
+            x = jax.nn.relu(x)
+            return Conv(4, 3, 2, 1)(x)
+
+    h = 33  # odd: shards 17/16 over space=2
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, 40, 3))
+    model = Stack()
+    variables = model.init(jax.random.PRNGKey(2), x)
+    ref = jax.jit(model.apply)(variables, x)
+
+    mesh = make_mesh(8, space=2)
+    xsh = NamedSharding(mesh, P("data", "space"))
+
+    @jax.jit
+    def fwd(v, xx):
+        xx = jax.lax.with_sharding_constraint(xx, xsh)
+        return model.apply(v, xx)
+
+    out = fwd(jax.device_put(variables, NamedSharding(mesh, P())), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
