@@ -143,6 +143,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--out", default="artifacts/parity_robust_unet/parity.json")
+    p.add_argument("--side", choices=["both", "torch", "coastline"],
+                   default="both",
+                   help="run one side only and cache its result; 'both' "
+                        "reuses cached sides with matching config (the "
+                        "full run is ~2h on this 1-vCPU host, so sides "
+                        "are resumable across interrupted sessions)")
     args = p.parse_args(argv)
 
     from coastline.data.synthetic import make_scene
@@ -156,25 +162,45 @@ def main(argv=None):
     print(f"parity run: {n_train} train / {args.n - n_train} val @ "
           f"{args.size}^2, {args.epochs} epochs, batch {args.batch_size}")
 
-    print("\n--- coastline (JAX, CPU f32) ---")
-    ours = run_coastline_side(images, masks, n_train, args.epochs,
-                              args.batch_size, args.lr)
-    print(f"final IoU {ours['final_iou']:.4f} "
-          f"({ours['train_seconds']:.0f}s)")
+    run_cfg = {k: vars(args)[k]
+               for k in ("size", "n", "epochs", "batch_size", "lr")}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
-    print("\n--- reference (torch, CPU) ---")
-    theirs = run_torch_side(images, masks, n_train, args.epochs,
-                            args.batch_size, args.lr)
-    print(f"final IoU {theirs['final_iou']:.4f} "
-          f"({theirs['train_seconds']:.0f}s)")
+    def cache_path(side):
+        return os.path.join(os.path.dirname(args.out), f"side_{side}.json")
 
+    def run_side(side):
+        cache = cache_path(side)
+        if os.path.exists(cache):
+            with open(cache) as f:
+                cached = json.load(f)
+            if cached.get("config") == run_cfg:
+                print(f"\n--- {side}: cached ({cache}) ---")
+                return cached["result"]
+        label = ("coastline (JAX, CPU f32)" if side == "coastline"
+                 else "reference (torch, CPU)")
+        print(f"\n--- {label} ---")
+        fn = run_coastline_side if side == "coastline" else run_torch_side
+        res = fn(images, masks, n_train, args.epochs,
+                 args.batch_size, args.lr)
+        print(f"final IoU {res['final_iou']:.4f} "
+              f"({res['train_seconds']:.0f}s)")
+        with open(cache, "w") as f:
+            json.dump({"config": run_cfg, "result": res}, f, indent=2)
+        return res
+
+    if args.side != "both":
+        run_side(args.side)
+        return 0
+
+    ours = run_side("coastline")
+    theirs = run_side("torch")
     out = {
         "config": vars(args),
         "torch_reference": theirs,
         "coastline": ours,
         "iou_delta": abs(theirs["final_iou"] - ours["final_iou"]),
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(f"\nIoU delta: {out['iou_delta']:.4f} -> {args.out}")
