@@ -17,6 +17,8 @@ TPU-first differences from the reference (not a translation):
     round-trip).
 """
 
+from typing import Union
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -29,49 +31,82 @@ class RobustUNet(nn.Module):
     n_classes: int = 1
     base: int = 64
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False  # rematerialize residual blocks in backward: trades
-                         # recompute FLOPs for activation memory. Train
-                         # throughput saturates by B=8 on one v5e chip, so
-                         # this matters for higher resolutions, not batch;
-                         # B=32 @ 512^2 still exceeds 16GB HBM (the
-                         # attention-gate/skip activations dominate) —
-                         # shard over the mesh instead.
+    # Rematerialization of the attention-residual blocks in backward:
+    #   False  — save every intermediate (XLA default).
+    #   True   — full-block recompute: minimum activation memory, but on one
+    #            v5e chip it is ~15% SLOWER (recompute re-reads block inputs
+    #            from HBM and the step is bandwidth-bound, not memory-bound;
+    #            measured 30.4 vs 36.0 img/s at B=16). Useful only for
+    #            resolutions whose activations exceed HBM.
+    #   "conv" — selective: save ONLY conv/MXU outputs (tagged "conv_out" in
+    #            ops.primitives) and recompute the elementwise chains
+    #            (BN normalize, ReLU, CBAM gates, dropout mask application)
+    #            in backward, where XLA fuses them into the gradient kernels.
+    #            Convs are never recomputed. Measured throughput-NEUTRAL on
+    #            one v5e at 512^2 (35.9 vs 36.0 img/s B=8, 34.1 vs 34.2
+    #            B=16): XLA's fusion already avoids materializing those
+    #            chains, so "conv" is purely an activation-memory reduction
+    #            for resolutions/batches that would otherwise spill HBM.
+    #            All three flavors are gradient-bit-identical and share one
+    #            checkpoint layout (tests/test_models.py).
+    remat: Union[bool, str] = False
+
+    def _block(self, cls, n_static: int):
+        """Apply the configured remat flavor to a block class; train flags
+        are static argnums so both phases stay traceable."""
+        if self.remat == "conv":
+            return nn.remat(
+                cls,
+                static_argnums=(n_static,),
+                prevent_cse=False,  # safe + faster inside the epoch lax.scan
+                policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
+            )
+        if self.remat:
+            return nn.remat(cls, static_argnums=(n_static,))
+        return cls
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
         b, dt, init = self.base, self.dtype, "kaiming_out"
-        RB = nn.remat(ResidualBlock, static_argnums=(2,)) if self.remat else ResidualBlock
+        # Explicit names pin variable paths to the unwrapped auto-names, so
+        # checkpoints/importers are identical across every `remat` setting
+        # (nn.remat would otherwise prefix paths with "remat(...)").
+        RB = self._block(ResidualBlock, 2)
+        DB = self._block(DilatedBlock, 2)
+        AG = self._block(AttentionGate, 3)
+        rb = lambda i, *a: RB(*a, name=f"ResidualBlock_{i}")
+        ag = lambda i, *a: AG(*a, name=f"AttentionGate_{i}")
         x = x.astype(dt)
 
         # Encoder
-        x1 = RB(b, 0.1, init, dt)(x, train)            # (H, W, 64)
-        x2 = RB(b * 2, 0.1, init, dt)(max_pool(x1), train)   # /2
-        x3 = RB(b * 4, 0.2, init, dt)(max_pool(x2), train)   # /4
-        x4 = RB(b * 8, 0.2, init, dt)(max_pool(x3), train)   # /8
+        x1 = rb(0, b, 0.1, init, dt)(x, train)            # (H, W, 64)
+        x2 = rb(1, b * 2, 0.1, init, dt)(max_pool(x1), train)   # /2
+        x3 = rb(2, b * 4, 0.2, init, dt)(max_pool(x2), train)   # /4
+        x4 = rb(3, b * 8, 0.2, init, dt)(max_pool(x3), train)   # /8
 
         # Bottleneck with dilated multi-scale context
-        x5 = DilatedBlock(b * 16, init, dt)(max_pool(x4), train)         # /16
-        x5 = RB(b * 16, 0.3, init, dt)(x5, train)
+        x5 = DB(b * 16, init, dt, name="DilatedBlock_0")(max_pool(x4), train)  # /16
+        x5 = rb(4, b * 16, 0.3, init, dt)(x5, train)
 
         # Decoder with attention-gated skips
         d = ConvTranspose(b * 8, 2, 2, dtype=dt)(x5)
-        skip = AttentionGate(b * 4, init, dt)(d, x4, train)
-        d = RB(b * 8, 0.2, init, dt)(
+        skip = ag(0, b * 4, init, dt)(d, x4, train)
+        d = rb(5, b * 8, 0.2, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         d = ConvTranspose(b * 4, 2, 2, dtype=dt)(d)
-        skip = AttentionGate(b * 2, init, dt)(d, x3, train)
-        d = RB(b * 4, 0.2, init, dt)(
+        skip = ag(1, b * 2, init, dt)(d, x3, train)
+        d = rb(6, b * 4, 0.2, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         d = ConvTranspose(b * 2, 2, 2, dtype=dt)(d)
-        skip = AttentionGate(b, init, dt)(d, x2, train)
-        d = RB(b * 2, 0.1, init, dt)(
+        skip = ag(2, b, init, dt)(d, x2, train)
+        d = rb(7, b * 2, 0.1, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         d = ConvTranspose(b, 2, 2, dtype=dt)(d)
-        skip = AttentionGate(b // 2, init, dt)(d, x1, train)
-        d = RB(b, 0.1, init, dt)(
+        skip = ag(3, b // 2, init, dt)(d, x1, train)
+        d = rb(8, b, 0.1, init, dt)(
             jnp.concatenate([skip, d], axis=-1), train)
 
         logits = Conv(self.n_classes, 1, init=init, dtype=dt)(d).astype(jnp.float32)

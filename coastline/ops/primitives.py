@@ -27,6 +27,8 @@ import numpy as np
 from flax import linen as nn
 from jax import lax
 
+from jax.ad_checkpoint import checkpoint_name
+
 from coastline.ops.initializers import (
     kaiming_normal_fanout,
     torch_bias_init_for,
@@ -73,7 +75,7 @@ class Conv(nn.Module):
         )
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.groups) * kh * kw
-        return nn.Conv(
+        y = nn.Conv(
             features=self.features,
             kernel_size=(kh, kw),
             strides=_pair(self.stride),
@@ -86,6 +88,11 @@ class Conv(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        # Identity outside jax.checkpoint; under remat(policy=save_only_these
+        # _names("conv_out")) it marks MXU outputs as the only residuals worth
+        # an HBM round-trip — elementwise chains (BN/ReLU/gates) recompute in
+        # backward, where they fuse for free. See models/robust_unet.py.
+        return checkpoint_name(y, "conv_out")
 
 
 class ConvTranspose(nn.Module):
@@ -136,7 +143,7 @@ class ConvTranspose(nn.Module):
         if self.use_bias:
             bias = self.param("bias", torch_bias_init_for(fan_in), (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
-        return y
+        return checkpoint_name(y, "conv_out")
 
 
 class _FastBatchNorm(nn.Module):

@@ -82,8 +82,14 @@ def main():
         print("cost:", out["train_step_cost"], file=sys.stderr)
     except Exception as e:
         print("cost_analysis failed:", e, file=sys.stderr)
-    for batch, remat in [(8, False), (16, False), (16, True), (32, True)]:
-        key = f"b{batch}_remat{int(remat)}"
+    configs = [(8, False), (16, False), (16, True), (32, True)]
+    if len(sys.argv) > 1:  # e.g. "8:conv,16:conv"
+        configs = []
+        for part in sys.argv[1].split(","):
+            b, r = part.split(":")
+            configs.append((int(b), {"0": False, "1": True}.get(r, r)))
+    for batch, remat in configs:
+        key = f"b{batch}_remat{remat if isinstance(remat, str) else int(remat)}"
         try:
             ips, comp = measure(batch, remat, rtt=rtt)
             out[key] = {"images_per_sec": round(ips, 2),

@@ -93,3 +93,47 @@ def test_robust_unet_train_mode_mutates_batch_stats():
     assert any(
         not jnp.allclose(a, b) for a, b in zip(leaves_before, leaves_after)
     )
+
+
+def test_robust_unet_remat_flavors_identical():
+    """All remat flavors (False / True / "conv") must share one checkpoint
+    layout (explicit module names pin the variable paths) and produce
+    bit-identical loss and gradients — remat is a memory/scheduling choice,
+    never a numerics or compatibility choice."""
+    from coastline.models.robust_unet import RobustUNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    y = (jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) > 0.5).astype(
+        jnp.float32
+    )
+    v = RobustUNet(remat=False).init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+
+    results = {}
+    for mode in (False, True, "conv"):
+        model = RobustUNet(remat=mode)
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x,
+                train=True,
+                return_logits=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            z = out.astype(jnp.float32)
+            return (
+                jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            ).mean()
+
+        # Same param tree applies to every flavor = checkpoint compatibility.
+        results[mode] = jax.jit(jax.value_and_grad(loss_fn))(v["params"])
+
+    l0, g0 = results[False]
+    for mode in (True, "conv"):
+        l1, g1 = results[mode]
+        assert float(jnp.abs(l0 - l1)) == 0.0, mode
+        deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+        assert max(jax.tree.leaves(deltas)) == 0.0, mode
