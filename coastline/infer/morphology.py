@@ -69,16 +69,17 @@ def dilate(mask, size: int = 5, kernel=None):
     """cv2.dilate(mask, ellipse(size)) for (H, W) or (N, H, W) masks.
 
     On TPU the Pallas shift-max kernel (pallas/morphology.py) is the
-    default — measured 29-92x faster than the XLA single-channel
-    convolution it replaces; the convolution remains the fallback for
-    CPU runs and masks too large for VMEM."""
+    default — measured 55-529x faster than the XLA single-channel
+    convolution it replaces (v5e, 512^2, SE sizes 5/20 — see
+    artifacts/bench_dilate.json); the convolution remains the fallback
+    for CPU runs and masks too large for VMEM."""
     if kernel is None:
         kernel = elliptical_kernel(size)
     mask = jnp.asarray(mask)
     if _pallas_dilate_enabled():
         from coastline.pallas.morphology import dilate_disk, fits_vmem
 
-        if fits_vmem(mask.shape):
+        if fits_vmem(mask.shape, kernel):
             return dilate_disk(mask, kernel)
     if mask.ndim == 3:
         return jax.vmap(lambda m: _dilate_jit(m, jnp.asarray(kernel), size))(mask)

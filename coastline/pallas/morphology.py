@@ -21,10 +21,19 @@ for a 41x41 disk drops from 1681 multiply-adds/pixel to ~50 VPU
 shift+max passes over the image.
 
 Exact match vs cv2.dilate on random masks, including even-size SEs'
-asymmetric anchors and grayscale inputs (tests/test_pallas.py). On by
+asymmetric anchors and grayscale inputs (tests/test_pallas.py), and an
+on-chip exact-parity assert vs the XLA convolution in the benchmark. On by
 default in `coastline.infer.morphology.dilate` for images that fit the
-VMEM budget; `COASTLINE_PALLAS_DILATE=0` opts out. v5e benchmark numbers:
-see scripts/bench_dilate.py output recorded below.
+VMEM budget; `COASTLINE_PALLAS_DILATE=0` opts out.
+
+v5e measurements (512^2 masks, scripts/bench_dilate.py ->
+artifacts/bench_dilate.json):
+
+    SE size  batch   XLA conv   this kernel   speedup
+       5       1     0.496 ms     0.006 ms      80x
+       5       8     2.371 ms     0.043 ms      56x
+      20       1     6.072 ms     0.016 ms     369x
+      20       8    56.8   ms     0.107 ms     529x
 """
 
 import functools
@@ -113,23 +122,43 @@ def _dilate_call(x, groups, interpret=False):
     )(x)
 
 
-def fits_vmem(shape) -> bool:
+def _pad_w(w: int, hi_max: int) -> int:
+    """Right padding: lane-align AND reserve >= hi_max scratch columns.
+
+    The horizontal pass realigns the suffix-window maximum by reading
+    z(c + hi); for the last hi columns of the array that index is out of
+    range and the zero-fill would DROP their partial in-bounds window
+    (right-edge pixels lose dilation). Padding by at least max(hi) pushes
+    those clipped columns into scratch that the caller crops away.
+    """
+    pad = -w % 128
+    while pad < hi_max:
+        pad += 128
+    return pad
+
+
+def fits_vmem(shape, kernel=None) -> bool:
     h, w = shape[-2], shape[-1]
+    hi_max = 0
+    if kernel is not None:
+        hi_max = max(
+            (hi for (_, hi), _ in _se_row_groups(np.asarray(kernel))), default=0
+        )
     pad_h = -h % 8
-    pad_w = -w % 128
-    return (h + pad_h) * (w + pad_w) <= VMEM_BUDGET_PX
+    return (h + pad_h) * (w + _pad_w(w, max(hi_max, 0))) <= VMEM_BUDGET_PX
 
 
 def dilate_disk(mask, kernel: np.ndarray, interpret: bool = False):
     """cv2.dilate(mask, SE) for (H, W) or (N, H, W) masks via the shift-max
     kernel. Max semantics (grayscale-correct); binary in -> binary out."""
     groups = _se_row_groups(np.asarray(kernel))
+    hi_max = max((hi for (_, hi), _ in groups), default=0)
     x = jnp.asarray(mask)
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
     n, h, w = x.shape
-    pad_h, pad_w = -h % 8, -w % 128
+    pad_h, pad_w = -h % 8, _pad_w(w, max(hi_max, 0))
     xf = x.astype(jnp.float32)
     if pad_h or pad_w:
         xf = jnp.pad(xf, ((0, 0), (0, pad_h), (0, pad_w)))

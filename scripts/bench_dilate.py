@@ -17,11 +17,12 @@ from coastline.utils.profiling import device_loop_seconds, measure_dispatch_rtt
 
 
 def main():
+    sizes = tuple(int(a) for a in sys.argv[1:]) or (5, 20)
     rtt = measure_dispatch_rtt()
     print(f"rtt {rtt * 1e3:.1f} ms", file=sys.stderr)
     rng = np.random.default_rng(0)
     results = {}
-    for size in (5, 20):
+    for size in sizes:
         ker = elliptical_kernel(size)
         kj = jnp.asarray(ker)
         for batch in (1, 8):

@@ -80,3 +80,24 @@ def test_pallas_dilate_batch_and_grayscale():
     for i in range(3):
         ref = cv2.dilate(batch[i], ker, iterations=1)
         np.testing.assert_array_equal(out[i], ref)
+
+
+@pytest.mark.parametrize("shape", [(16, 128), (24, 256), (8, 512)])
+def test_pallas_dilate_lane_aligned_width(shape):
+    """Regression: widths that are already multiples of 128 got NO scratch
+    padding, so the horizontal realign shift zeroed the last hi columns and
+    right-edge pixels lost their dilation (caught on-chip by
+    scripts/bench_dilate.py; fixed by _pad_w reserving >= max(hi))."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from coastline.infer.morphology import elliptical_kernel
+    from coastline.pallas.morphology import dilate_disk
+
+    rng = np.random.default_rng(1)
+    ker = elliptical_kernel(5)
+    mask = (rng.random(shape) < 0.05).astype(np.uint8)
+    mask[:, -1] = 1  # force right-edge seeds
+    ref = cv2.dilate(mask, ker, iterations=1)
+    out = np.asarray(dilate_disk(mask, ker, interpret=True))
+    np.testing.assert_array_equal(out, ref)
