@@ -111,7 +111,7 @@ def main():
     log(f"single-tile latency: {p50_ms:.2f} ms")
 
     best_ips, best_b = 0.0, 1
-    for B in (8, 16, 32):
+    for B in (8, 16, 32, 64):
         xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
         sec = device_loop_seconds(infer_step, (params, batch_stats, xb), 20, rtt)
         ips = B / sec
