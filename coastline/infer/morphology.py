@@ -70,9 +70,10 @@ def dilate(mask, size: int = 5, kernel=None):
 
     On TPU the Pallas shift-max kernel (pallas/morphology.py) is the
     default — measured 55-529x faster than the XLA single-channel
-    convolution it replaces (v5e, 512^2, SE sizes 5/20 — see
-    artifacts/bench_dilate.json); the convolution remains the fallback
-    for CPU runs and masks too large for VMEM."""
+    convolution it replaces (v5e, SE sizes 5/20/41, 512^2 and row-banded
+    2048^2 — see artifacts/bench_dilate.json); the convolution remains
+    the fallback for CPU runs and masks too wide for even one banded
+    VMEM block."""
     if kernel is None:
         kernel = elliptical_kernel(size)
     mask = jnp.asarray(mask)

@@ -29,11 +29,18 @@ VMEM budget; `COASTLINE_PALLAS_DILATE=0` opts out.
 v5e measurements (512^2 masks, scripts/bench_dilate.py ->
 artifacts/bench_dilate.json):
 
-    SE size  batch   XLA conv   this kernel   speedup
-       5       1     0.496 ms     0.006 ms      80x
-       5       8     2.371 ms     0.043 ms      56x
-      20       1     6.072 ms     0.016 ms     369x
-      20       8    56.8   ms     0.107 ms     529x
+    SE size  shape        XLA conv   this kernel   speedup
+       5     512^2  b1    0.496 ms     0.006 ms      80x
+       5     512^2  b8    2.371 ms     0.043 ms      56x
+      20     512^2  b1    6.072 ms     0.016 ms     369x
+      20     512^2  b8   56.8   ms     0.107 ms     529x
+      20     2048^2 b1   97.1   ms     0.254 ms     382x   (row-banded)
+
+Masks over the per-block VMEM budget are row-banded with a vertical halo
+of the SE row-radius — exact, so native-resolution scene masks (the
+CoastlineExtractor path dilates at ORIGINAL image size) stay on this
+kernel instead of falling back to the convolution; on-chip cv2 parity is
+asserted for the banded path at 512^2/size41 and 2048^2/sizes 20+41.
 """
 
 import functools
@@ -100,9 +107,19 @@ def _kernel(x_ref, out_ref, *, groups):
     out_ref[0] = acc
 
 
-# images bigger than this fall back to the XLA convolution path: the kernel
-# holds input + accumulator + shift temporaries in VMEM
-VMEM_BUDGET_PX = 1024 * 1024
+# Mosaic's scoped-vmem stack limit: the kernel's live shift/max
+# temporaries must fit it per grid step. Measured from compiler OOM
+# reports: a size-20 SE uses 38.7 bytes/px of stack, size-41 uses 54.0 —
+# roughly 40.5 + vmax bytes/px (vmax = SE row-radius), which _plan uses
+# to size blocks. The production 512x512/size-20 case (512x640
+# lane-padded = 327k px -> 12.7M) single-calls; taller images are
+# row-banded (exact: a vertical halo of the SE row-radius overlaps the
+# bands); only images too WIDE for an 8-row band fall back to XLA conv.
+VMEM_LIMIT_BYTES = 16 * 2**20
+
+
+def _budget_px(vmax: int) -> int:
+    return int(VMEM_LIMIT_BYTES / (40.5 + vmax))
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "interpret"))
@@ -137,31 +154,74 @@ def _pad_w(w: int, hi_max: int) -> int:
     return pad
 
 
-def fits_vmem(shape, kernel=None) -> bool:
+def _plan(shape, groups):
+    """(band_rows, vmax, hi_max) for the given mask shape, or None when even
+    an 8-row band of the (lane-padded) width overflows the VMEM budget.
+    band_rows == h means a single un-tiled call."""
     h, w = shape[-2], shape[-1]
-    hi_max = 0
+    hi_max = max((max(hi, 0) for (_, hi), _ in groups), default=0)
+    vmax = max((abs(s) for _, vs in groups for s in vs), default=0)
+    w_pad = w + _pad_w(w, hi_max)
+    budget = _budget_px(vmax)
+    if (h + (-h % 8)) * w_pad <= budget:
+        return h, vmax, hi_max
+    halo8 = 2 * vmax + (-2 * vmax % 8)  # halo rounded up so bh pads to <= budget
+    band = (budget // w_pad - halo8) // 8 * 8
+    if band < 8:
+        return None
+    return band, vmax, hi_max
+
+
+def fits_vmem(shape, kernel=None) -> bool:
+    groups = ()
     if kernel is not None:
-        hi_max = max(
-            (hi for (_, hi), _ in _se_row_groups(np.asarray(kernel))), default=0
-        )
-    pad_h = -h % 8
-    return (h + pad_h) * (w + _pad_w(w, max(hi_max, 0))) <= VMEM_BUDGET_PX
+        groups = _se_row_groups(np.asarray(kernel))
+    return _plan(shape, groups) is not None
+
+
+def _dilate_banded(xf, groups, band: int, vmax: int, interpret: bool):
+    """Exact row-banded dilation: each band carries a vertical halo of the
+    SE row-radius, so every valid output row sees all the input rows it
+    depends on; halo/scratch rows are cropped after the kernel."""
+    n, h, w = xf.shape
+    nb = -(-h // band)
+    bh = band + 2 * vmax
+    xp = jnp.pad(xf, ((0, 0), (vmax, nb * band - h + vmax), (0, 0)))
+    rows = (jnp.arange(nb) * band)[:, None] + jnp.arange(bh)[None, :]
+    bands = xp[:, rows, :].reshape(n * nb, bh, w)
+    if bh % 8:
+        bands = jnp.pad(bands, ((0, 0), (0, -bh % 8), (0, 0)))
+    out = _dilate_call(bands, groups, interpret=interpret)
+    return out[:, vmax : vmax + band, :].reshape(n, nb * band, w)[:, :h, :]
 
 
 def dilate_disk(mask, kernel: np.ndarray, interpret: bool = False):
     """cv2.dilate(mask, SE) for (H, W) or (N, H, W) masks via the shift-max
-    kernel. Max semantics (grayscale-correct); binary in -> binary out."""
+    kernel; large images are row-banded (exact). Max semantics
+    (grayscale-correct); binary in -> binary out."""
     groups = _se_row_groups(np.asarray(kernel))
-    hi_max = max((hi for (_, hi), _ in groups), default=0)
     x = jnp.asarray(mask)
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
     n, h, w = x.shape
-    pad_h, pad_w = -h % 8, _pad_w(w, max(hi_max, 0))
+    plan = _plan(x.shape, groups)
+    if plan is None:
+        raise ValueError(
+            f"mask of width {w} exceeds the Pallas VMEM budget; use the "
+            "convolution fallback (infer.morphology.dilate does this)"
+        )
+    band, vmax, hi_max = plan
+    pad_w = _pad_w(w, hi_max)
     xf = x.astype(jnp.float32)
-    if pad_h or pad_w:
-        xf = jnp.pad(xf, ((0, 0), (0, pad_h), (0, pad_w)))
-    out = _dilate_call(xf, groups, interpret=interpret)
+    if pad_w:
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, pad_w)))
+    if band >= h:
+        pad_h = -h % 8
+        if pad_h:
+            xf = jnp.pad(xf, ((0, 0), (0, pad_h), (0, 0)))
+        out = _dilate_call(xf, groups, interpret=interpret)
+    else:
+        out = _dilate_banded(xf, groups, band, vmax, interpret)
     out = out[:, :h, :w].astype(mask.dtype)
     return out[0] if squeeze else out

@@ -101,3 +101,39 @@ def test_pallas_dilate_lane_aligned_width(shape):
     ref = cv2.dilate(mask, ker, iterations=1)
     out = np.asarray(dilate_disk(mask, ker, interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("shape,size", [((1500, 700), 20), ((1030, 1024), 41),
+                                        ((2200, 480), 5), ((3000, 333), 7)])
+def test_pallas_dilate_row_banded(shape, size):
+    """Images over the VMEM budget are row-banded with a vertical halo —
+    must stay exactly cv2 (native-resolution scene masks take this path)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from coastline.infer.morphology import elliptical_kernel
+    from coastline.pallas import morphology as pm
+
+    rng = np.random.default_rng(shape[0] + size)
+    ker = elliptical_kernel(size)
+    assert pm._plan(shape, pm._se_row_groups(ker))[0] < shape[0], "not banded"
+    mask = (rng.random(shape) < 0.02).astype(np.uint8)
+    mask[:, -1] = 1
+    mask[-1, :] = 1
+    ref = cv2.dilate(mask, ker, iterations=1)
+    out = np.asarray(pm.dilate_disk(mask, ker, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_dilate_too_wide_raises_and_gate():
+    import numpy as np
+
+    from coastline.infer.morphology import elliptical_kernel
+    from coastline.pallas import morphology as pm
+
+    ker = elliptical_kernel(5)
+    # width such that even an 8-row band overflows the VMEM budget
+    shape = (16, pm._budget_px(2) // 8 + 256)
+    assert not pm.fits_vmem(shape, ker)
+    with pytest.raises(ValueError):
+        pm.dilate_disk(np.zeros(shape, np.uint8), ker, interpret=True)
