@@ -26,7 +26,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 REPO = pathlib.Path(__file__).resolve().parent
 
@@ -49,29 +48,9 @@ def measure_rtt():
     return (time.perf_counter() - t0) / 3
 
 
-def device_loop_seconds(step_fn, args, n_loop: int, rtt: float, trials: int = 3):
-    """step_fn(carry, *args) -> carry (scalar f32); args passed as jit
-    arguments (NOT captured — captured pytrees become giant HLO constants).
-    Returns s/iteration on device."""
-
-    @jax.jit
-    def loop(*a):
-        return lax.scan(
-            lambda c, _: (step_fn(c, *a), None), jnp.zeros((), jnp.float32), None,
-            length=n_loop,
-        )[0]
-
-    float(loop(*args))  # compile + warm
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(loop(*args))
-        times.append(time.perf_counter() - t0)
-    return max(1e-9, (min(times) - rtt) / n_loop)
-
-
 def main():
     from coastline.models.robust_unet import RobustUNet
+    from coastline.utils.profiling import device_loop_seconds
     from coastline.train.loop import (
         TrainConfig, batch_indices, create_train_state, make_train_epoch,
     )
@@ -106,14 +85,14 @@ def main():
         return c + y.mean().astype(jnp.float32)
 
     # Batch-1 latency (the predict_coastline per-tile path)
-    lat = device_loop_seconds(infer_step, (params, batch_stats, x1), 20, rtt)
+    lat = device_loop_seconds(infer_step, (params, batch_stats, x1), n_loop=20, rtt=rtt)
     p50_ms = lat * 1e3
     log(f"single-tile latency: {p50_ms:.2f} ms")
 
     best_ips, best_b = 0.0, 1
     for B in (8, 16, 32, 64):
         xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
-        sec = device_loop_seconds(infer_step, (params, batch_stats, xb), 20, rtt)
+        sec = device_loop_seconds(infer_step, (params, batch_stats, xb), n_loop=20, rtt=rtt)
         ips = B / sec
         log(f"batch-{B} inference: {ips:.1f} images/sec")
         if ips > best_ips:

@@ -60,13 +60,19 @@ def _dilate_jit(mask, kernel, size):
 def _pallas_dilate_enabled() -> bool:
     import os
 
-    if os.environ.get("COASTLINE_PALLAS_DILATE", "1") in ("0", "false"):
+    if os.environ.get("COASTLINE_PALLAS_DILATE", "1").lower() in (
+        "0", "false", "no", "off",
+    ):
         return False
     return jax.default_backend() != "cpu"  # Mosaic needs a real TPU
 
 
 def dilate(mask, size: int = 5, kernel=None):
-    """cv2.dilate(mask, ellipse(size)) for (H, W) or (N, H, W) masks.
+    """cv2.dilate(mask, ellipse(size)) for BINARY (H, W) or (N, H, W) masks.
+
+    Input is binarized (>0) so the Pallas and convolution paths agree
+    exactly on every platform; grayscale callers wanting cv2's true max
+    semantics should use pallas.morphology.dilate_disk directly.
 
     On TPU the Pallas shift-max kernel (pallas/morphology.py) is the
     default — measured 55-529x faster than the XLA single-channel
@@ -76,7 +82,8 @@ def dilate(mask, size: int = 5, kernel=None):
     VMEM block."""
     if kernel is None:
         kernel = elliptical_kernel(size)
-    mask = jnp.asarray(mask)
+    orig_dtype = jnp.asarray(mask).dtype
+    mask = (jnp.asarray(mask) > 0).astype(orig_dtype)
     if _pallas_dilate_enabled():
         from coastline.pallas.morphology import dilate_disk, fits_vmem
 

@@ -72,7 +72,7 @@ def main():
 
     from xprof.convert import raw_to_tool_data as rtd
 
-    rows = None
+    written = []
     for tool in ("hlo_stats", "op_profile", "framework_op_stats"):
         try:
             data, _ = rtd.xspace_to_tool_data([pathlib.Path(plane).parent], tool, {})
@@ -81,12 +81,11 @@ def main():
                 data = data.decode("utf-8", "replace")
             out_path.write_text(data if isinstance(data, str) else json.dumps(data))
             print(f"wrote {out_path}", file=sys.stderr)
-            if tool == "hlo_stats":
-                rows = data
+            written.append(tool)
         except Exception as e:
             print(f"{tool}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
-    print(json.dumps({"captured": plane, "tools_written": True}))
+    print(json.dumps({"captured": plane, "tools_written": written}))
 
 
 if __name__ == "__main__":

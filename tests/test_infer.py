@@ -95,3 +95,20 @@ def test_scene_prediction_shape(tmp_path):
     mask = ex.predict_scene(scene, batch=4, overlap=16)
     assert mask.shape == (150, 200)
     assert set(np.unique(mask)) <= {0, 1}
+
+
+def test_dilate_binarizes_grayscale_consistently():
+    """dilate() is a BINARY-mask op: grayscale inputs are thresholded (>0)
+    identically on the Pallas and convolution paths, so results never vary
+    by platform/env flag (cv2-true grayscale max lives in dilate_disk)."""
+    from coastline.pallas.morphology import dilate_disk
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 255, (32, 48), dtype=np.uint8)
+    ker = elliptical_kernel(5)
+    out = np.asarray(dilate(gray, 5))
+    ref = cv2.dilate((gray > 0).astype(np.uint8), ker, iterations=1)
+    assert np.array_equal(out, ref)
+    # the grayscale-max kernel still matches cv2's true grayscale dilation
+    gmax = np.asarray(dilate_disk(gray, ker, interpret=True))
+    assert np.array_equal(gmax, cv2.dilate(gray, ker, iterations=1))
