@@ -184,6 +184,17 @@ class CoastlineExtractor:
             print("analysis figure failed:", e)
         print(f"results saved to {output_dir}")
 
+    def serve(self, batch_size: int = 8, max_delay_ms: float = 5.0):
+        """Micro-batching server over this extractor's jitted predict:
+        concurrent callers submit single images, the chip sees fixed-shape
+        batches (infer/server.py). Use as a context manager."""
+        from coastline.infer.server import BatchedPredictor
+
+        return BatchedPredictor(
+            self.predict_masks_batch, batch_size=batch_size,
+            image_size=self.image_size, max_delay_ms=max_delay_ms,
+        )
+
     def extract_batch(self, image_paths: List[str], output_dir: str,
                       dilation_size: int = 5) -> List[Optional[dict]]:
         return [
