@@ -134,3 +134,48 @@ def test_spatial_sharding_uneven_height():
     out = fwd(jax.device_put(variables, NamedSharding(mesh, P())), x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_dcn_mesh_shapes():
+    from coastline.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(8, space=2, dcn=2)
+    assert mesh.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("dcn", "data", "space")
+    sh = batch_sharding(mesh)
+    assert sh.spec == jax.sharding.PartitionSpec(("dcn", "data"), "space")
+    with pytest.raises(ValueError):
+        make_mesh(8, space=2, dcn=3)
+
+
+def test_dcn_step_matches_single_device():
+    """Multi-slice layout (dcn=2 x data=2 x space=2) must reproduce the
+    single-device loss: batch shards over ('dcn','data') jointly, rows over
+    'space'; GSPMD decomposes the grad all-reduce into ICI + DCN stages."""
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.fastscnn import FastSCNN
+    from coastline.parallel.mesh import make_mesh, replicated
+    from coastline.train.loop import (
+        TrainConfig, batch_indices, create_train_state, make_train_epoch,
+    )
+
+    size, batch, n = 64, 4, 4
+    ds = synthetic_device_dataset(n, size=size, seed=0)
+    model = FastSCNN()
+    cfg = TrainConfig(epochs=1, batch_size=batch, lr=1e-3)
+    idx, valid = batch_indices(n, batch, shuffle=False, rng=np.random.default_rng(0))
+    idx, valid = jnp.asarray(idx), jnp.asarray(valid)
+
+    state1 = create_train_state(model, cfg, (1, size, size, 3))
+    epoch1 = make_train_epoch(model, cfg)
+    _, loss1 = epoch1(state1, ds.images, ds.masks, idx, valid)
+
+    mesh = make_mesh(8, space=2, dcn=2)
+    state2 = create_train_state(model, cfg, (1, size, size, 3))
+    state2 = jax.device_put(state2, replicated(mesh))
+    images = jax.device_put(ds.images, replicated(mesh))
+    masks = jax.device_put(ds.masks, replicated(mesh))
+    epoch2 = make_train_epoch(model, cfg, mesh=mesh)
+    _, loss2 = epoch2(state2, images, masks, idx, valid)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
