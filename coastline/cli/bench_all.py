@@ -168,6 +168,7 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "benchmark_results.json"), "w") as f:
         json.dump(
             {
+                "config": vars(args),
                 "results": results,
                 "param_counts": param_counts,
                 "histories": histories,
