@@ -52,7 +52,7 @@ def main():
     from coastline.models.robust_unet import RobustUNet
     from coastline.utils.profiling import device_loop_seconds
     from coastline.train.loop import (
-        TrainConfig, batch_indices, create_train_state, make_train_epoch,
+        TrainConfig, create_train_state, make_train_epoch,
     )
 
     dev = jax.devices()[0]

@@ -24,7 +24,6 @@ from coastline.ops.primitives import (
     avg_pool_global,
     bilinear_resize,
     max_pool,
-    max_pool_global,
 )
 
 
