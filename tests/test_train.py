@@ -237,3 +237,39 @@ def test_batch_indices_wraparound_padding():
     assert sorted(flat[:7].tolist()) == list(range(7))
     assert flat[7] == flat[0]  # wrap-around, not a constant 0
     np.testing.assert_array_equal(valid.reshape(-1)[7:], [0])
+
+
+def test_rasterizer_matches_cv2_variant_up_to_boundary():
+    """The reference ships two rasterizers (PIL fill, Main_Final.py:62-78;
+    cv2.fillPoly, train_water_segmentation.py:176-207) and we implement one
+    canonical PIL-based fill. Fuzz random polygons: the variants must agree
+    everywhere except a 1-px boundary band (their edge-inclusion rules
+    differ there by convention), so interiors — all that training ever
+    sees at 512^2 — are identical."""
+    cv2 = pytest.importorskip("cv2")
+    from coastline.data.rasterize import rasterize_polygons
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n_pts = int(rng.integers(3, 12))
+        cx, cy = rng.uniform(30, 98, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_pts))
+        rad = rng.uniform(8, 28, n_pts)
+        pts = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+
+        ours = rasterize_polygons([pts.tolist()], (128, 128))
+        ref = np.zeros((128, 128), np.uint8)
+        cv2.fillPoly(ref, [pts.astype(np.int32)], 1)
+
+        diff = ours != ref
+        if diff.any():
+            # every disagreeing pixel must lie within 1 px of the polygon
+            # outline (the fill conventions only differ on edge pixels)
+            edge = np.zeros((128, 128), np.uint8)
+            cv2.polylines(edge, [pts.astype(np.int32)], True, 1, thickness=1)
+            edge_band = cv2.dilate(edge, np.ones((3, 3), np.uint8))
+            assert not (diff & (edge_band == 0)).any(), (
+                f"trial {trial}: disagreement away from the polygon edge"
+            )
+        # and the areas stay within the boundary-band bound
+        assert abs(int(ours.sum()) - int(ref.sum())) <= diff.sum()
