@@ -273,3 +273,31 @@ def test_rasterizer_matches_cv2_variant_up_to_boundary():
             )
         # and the areas stay within the boundary-band bound
         assert abs(int(ours.sum()) - int(ref.sum())) <= diff.sum()
+
+
+@pytest.mark.parametrize("policy,expect_epochs", [("halt", 1), ("warn", 3)])
+def test_nan_policy_failure_detection(tmp_path, policy, expect_epochs):
+    """SURVEY §5.3: a non-finite loss must emit a JSONL 'nan' event and
+    either halt the run (history truncated) or warn and continue."""
+    import json as _json
+
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.fastscnn import FastSCNN
+    from coastline.train.loop import Evaluator, TrainConfig
+
+    log = tmp_path / "run.jsonl"
+    cfg = TrainConfig(epochs=3, batch_size=2, eval_batch_size=2, lr=1e14,
+                      nan_policy=policy, log_path=str(log))
+    ev = Evaluator(FastSCNN(), cfg)
+    train = synthetic_device_dataset(2, size=64, seed=0)
+    val = synthetic_device_dataset(2, size=64, seed=1)
+    out = ev.train_model(train, val, verbose=False)
+
+    events = [_json.loads(l) for l in log.read_text().splitlines()]
+    kinds = [e["event"] for e in events]
+    assert "nan" in kinds, f"no nan event logged with lr=1e14 ({kinds})"
+    n_epochs = len(out["history"]["train_loss"])
+    if policy == "halt":
+        assert n_epochs < 3  # truncated at the failure
+    else:
+        assert n_epochs == 3  # warned and continued
