@@ -112,3 +112,34 @@ def test_dilate_binarizes_grayscale_consistently():
     # the grayscale-max kernel still matches cv2's true grayscale dilation
     gmax = np.asarray(dilate_disk(gray, ker, interpret=True))
     assert np.array_equal(gmax, cv2.dilate(gray, ker, iterations=1))
+
+
+def test_extract_batch_matches_per_image(tmp_path):
+    """Batched directory extraction (fixed-shape chunked forwards) must
+    produce identical masks/contours to the per-image path, including
+    mixed native sizes and a corrupt file slot."""
+    from PIL import Image
+
+    from coastline.infer.extract import CoastlineExtractor
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, size in enumerate([(80, 64), (64, 64), (100, 40)]):
+        im = Image.fromarray(
+            rng.integers(0, 255, (size[1], size[0], 3), dtype=np.uint8)
+        )
+        p = tmp_path / f"img{i}.png"
+        im.save(p)
+        paths.append(str(p))
+    bad = tmp_path / "broken.png"
+    bad.write_bytes(b"not an image")
+    paths.append(str(bad))
+
+    ex = CoastlineExtractor(image_size=64)
+    single = [ex.extract_coastline_from_image(p, None, 5) for p in paths]
+    batched = ex.extract_batch(paths, None, 5, batch_size=2)
+
+    for s, b in zip(single[:3], batched[:3]):
+        np.testing.assert_array_equal(s["water_mask"], b["water_mask"])
+        np.testing.assert_array_equal(s["coastline_mask"], b["coastline_mask"])
+        assert s["coastline_count"] == b["coastline_count"]
