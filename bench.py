@@ -38,26 +38,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_rtt():
-    trivial = jax.jit(lambda x: x.sum())
-    z = jnp.ones((8,))
-    float(trivial(z))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(trivial(z))
-    return (time.perf_counter() - t0) / 3
-
-
 def main():
     from coastline.models.robust_unet import RobustUNet
-    from coastline.utils.profiling import device_loop_seconds
+    from coastline.utils.profiling import device_loop_seconds, measure_dispatch_rtt
     from coastline.train.loop import (
         TrainConfig, create_train_state, make_train_epoch,
     )
 
     dev = jax.devices()[0]
     log(f"device: {dev}, platform: {dev.platform}")
-    rtt = measure_rtt()
+    rtt = measure_dispatch_rtt()
     log(f"dispatch RTT: {rtt * 1000:.1f} ms")
 
     model = RobustUNet(dtype=jnp.bfloat16)

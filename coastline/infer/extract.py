@@ -198,59 +198,54 @@ class CoastlineExtractor:
     def extract_batch(self, image_paths: List[str], output_dir: str,
                       dilation_size: int = 5,
                       batch_size: int = 8) -> List[Optional[dict]]:
-        """Directory-scale extraction with BATCHED forwards: all images
-        resize to the model size, run through the jitted predict in
-        fixed-shape chunks (the single compiled program), then each mask
-        is restored to its native size for band/contour/save — identical
-        artifacts to the per-image path, fewer device round-trips."""
-        loaded = []
-        for p in image_paths:
-            try:
-                loaded.append(self._load_image(p))
-            except Exception as e:
-                print(f"load failed for {p}: {e}")
-                loaded.append(None)
-        ok = [i for i, im in enumerate(loaded) if im is not None]
-        masks512 = {}
+        """Directory-scale extraction with BATCHED forwards: images load
+        one chunk at a time (O(batch_size) resident memory), resize to the
+        model size, run through the jitted predict at the fixed batch
+        shape (one compiled program), then each mask is restored to its
+        native size for band/contour/save — identical artifacts to the
+        per-image path, fewer device round-trips."""
         s = self.image_size
-        for start in range(0, len(ok), batch_size):
-            chunk = ok[start : start + batch_size]
-            arr = np.zeros((batch_size, s, s, 3), np.uint8)
-            for j, i in enumerate(chunk):
-                arr[j] = np.asarray(
-                    loaded[i].resize((s, s), Image.BILINEAR), np.uint8
-                )
-            preds = self.predict_masks_batch(arr)
-            for j, i in enumerate(chunk):
-                masks512[i] = preds[j]
-
         results: List[Optional[dict]] = []
-        for i, p in enumerate(image_paths):
-            if loaded[i] is None:
-                results.append(None)
-                continue
-            try:
-                image = loaded[i]
-                mask = np.asarray(
-                    Image.fromarray(masks512[i]).resize(image.size, Image.NEAREST),
-                    np.uint8,
-                )
-                band = np.asarray(coastline_band(mask, dilation_size))
-                coastlines = extract_contours(band)
-                result = {
-                    "image_path": p,
-                    "image_size": list(image.size),
-                    "water_mask": mask,
-                    "coastline_mask": band,
-                    "coastlines": coastlines,
-                    "coastline_count": len(coastlines),
-                    "dilation_size": dilation_size,
-                    "extraction_time": str(datetime.now()),
-                }
-                if output_dir:
-                    self.save_extraction_result(result, output_dir, image)
-                results.append(result)
-            except Exception as e:
-                print(f"extraction failed for {p}: {e}")
-                results.append(None)
+        for start in range(0, len(image_paths), batch_size):
+            chunk_paths = image_paths[start : start + batch_size]
+            # load only this chunk (O(batch_size) resident images)
+            loaded: List[Optional[Image.Image]] = []
+            for p in chunk_paths:
+                try:
+                    loaded.append(self._load_image(p))
+                except Exception as e:
+                    print(f"load failed for {p}: {e}")
+                    loaded.append(None)
+            arr = np.zeros((batch_size, s, s, 3), np.uint8)
+            for j, im in enumerate(loaded):
+                if im is not None:
+                    arr[j] = np.asarray(im.resize((s, s), Image.BILINEAR), np.uint8)
+            preds = self.predict_masks_batch(arr)
+            for j, (p, image) in enumerate(zip(chunk_paths, loaded)):
+                if image is None:
+                    results.append(None)
+                    continue
+                try:
+                    mask = np.asarray(
+                        Image.fromarray(preds[j]).resize(image.size, Image.NEAREST),
+                        np.uint8,
+                    )
+                    band = np.asarray(coastline_band(mask, dilation_size))
+                    coastlines = extract_contours(band)
+                    result = {
+                        "image_path": p,
+                        "image_size": list(image.size),
+                        "water_mask": mask,
+                        "coastline_mask": band,
+                        "coastlines": coastlines,
+                        "coastline_count": len(coastlines),
+                        "dilation_size": dilation_size,
+                        "extraction_time": str(datetime.now()),
+                    }
+                    if output_dir:
+                        self.save_extraction_result(result, output_dir, image)
+                    results.append(result)
+                except Exception as e:
+                    print(f"extraction failed for {p}: {e}")
+                    results.append(None)
         return results

@@ -28,6 +28,7 @@ co-located host the ceiling is the full batch-vs-single-tile gap
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Optional, Sequence
 
@@ -47,14 +48,13 @@ class BatchedPredictor:
         self.max_delay = max_delay_ms / 1e3
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ----------------------------------------------------------- client API
     def submit(self, image_u8: np.ndarray) -> Future:
         """Enqueue one (H, W, 3) uint8 image; resolves to a (H, W) mask."""
-        if self._stop.is_set():
-            raise RuntimeError("BatchedPredictor is closed")
         s = self.image_size
         if image_u8.shape != (s, s, 3) or image_u8.dtype != np.uint8:
             raise ValueError(
@@ -62,7 +62,11 @@ class BatchedPredictor:
                 f"{image_u8.shape}"
             )
         fut: Future = Future()
-        self._queue.put((image_u8, fut))
+        # lock vs close(): never enqueue after the worker's final drain
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("BatchedPredictor is closed")
+            self._queue.put((image_u8, fut))
         return fut
 
     def predict_many(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
@@ -71,8 +75,9 @@ class BatchedPredictor:
         return [f.result() for f in futs]
 
     def close(self, timeout: Optional[float] = 10.0):
-        self._stop.set()
-        self._queue.put(None)  # wake the collector
+        with self._submit_lock:
+            self._stop.set()
+            self._queue.put(None)  # wake the collector
         self._worker.join(timeout=timeout)
 
     def __enter__(self):
@@ -90,9 +95,14 @@ class BatchedPredictor:
         if first is None:
             return []
         items = [first]
+        deadline = time.monotonic() + self.max_delay  # absolute: the first
+        # caller waits at most max_delay total, however requests trickle in
         while len(items) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(timeout=self.max_delay)
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
@@ -112,13 +122,25 @@ class BatchedPredictor:
             try:
                 masks = self._predict(batch)
                 for i, (_, fut) in enumerate(items):
-                    fut.set_result(np.asarray(masks[i]))
+                    _resolve(fut, result=np.asarray(masks[i]))
             except Exception as e:  # propagate to every waiter in the batch
                 for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _resolve(fut, exception=e)
         # drain anything submitted during shutdown
         while not self._queue.empty():
             item = self._queue.get_nowait()
             if item is not None:
-                item[1].set_exception(RuntimeError("BatchedPredictor closed"))
+                _resolve(item[1], exception=RuntimeError("BatchedPredictor closed"))
+
+
+def _resolve(fut: Future, result=None, exception=None):
+    """Resolve a Future, tolerating client-side cancel()/double-resolve —
+    one misbehaving waiter must never poison its batch or the worker."""
+    try:
+        if exception is not None:
+            if not fut.done():
+                fut.set_exception(exception)
+        elif not fut.done():
+            fut.set_result(result)
+    except Exception:
+        pass

@@ -113,3 +113,28 @@ def test_extractor_serve_contextmanager():
     with ex.serve(batch_size=4) as srv:
         mask = srv.submit(im).result(timeout=30)
     assert mask.shape == (64, 64) and set(np.unique(mask)) <= {0, 1}
+
+
+def test_cancelled_future_does_not_poison_batch():
+    """A client that times out and cancels its Future must not corrupt
+    the other waiters' results or kill the worker."""
+    ev = threading.Event()
+
+    def slow_predict(batch):
+        ev.wait(0.2)
+        return (batch[..., 0] > 127).astype(np.uint8)
+
+    srv = BatchedPredictor(slow_predict, batch_size=2, max_delay_ms=1)
+    try:
+        im0 = np.zeros((512, 512, 3), np.uint8)
+        im1 = np.full((512, 512, 3), 200, np.uint8)
+        f0 = srv.submit(im0)
+        f1 = srv.submit(im1)
+        f0.cancel()  # races the worker's resolve; must be tolerated
+        mask1 = f1.result(timeout=10)
+        assert (mask1 == 1).all()
+        # worker still alive and serving
+        f2 = srv.submit(im1)
+        assert (f2.result(timeout=10) == 1).all()
+    finally:
+        srv.close()

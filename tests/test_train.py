@@ -271,8 +271,6 @@ def test_rasterizer_matches_cv2_variant_up_to_boundary():
             assert not (diff & (edge_band == 0)).any(), (
                 f"trial {trial}: disagreement away from the polygon edge"
             )
-        # and the areas stay within the boundary-band bound
-        assert abs(int(ours.sum()) - int(ref.sum())) <= diff.sum()
 
 
 @pytest.mark.parametrize("policy,expect_epochs", [("halt", 1), ("warn", 3)])
