@@ -6,12 +6,15 @@ intermediate in HBM. These kernels keep the window expansion entirely in
 VMEM: the pool emits values + a 2-bit window code, the unpool re-expands in
 one pass. Fused per (image, row-tile) — the intermediate never exists.
 
-Status: validated in interpret mode on all backends. Current Mosaic
-(jax 0.9) cannot lower the W-axis (sublane) split/merge reshapes these
-kernels need ("unsupported shape cast"), so on TPU the production SegNet
-path keeps the XLA one-hot formulation in `coastline.ops.primitives`
-(~1ms at SegNet's largest shape — not a bottleneck). Revisit when Mosaic
-grows sublane-interleave relayouts.
+Status (re-measured 2026-08-17 on v5e, artifacts/bench_unpool.json):
+current Mosaic lowers both kernels for C >= 128 (the unpool's W-axis
+interleave merge still fails "unsupported shape cast" at C=64, SegNet's
+512^2 stage), but at every SegNet shape that DOES lower the XLA one-hot
+formulation in `coastline.ops.primitives` is faster — 1.1-1.4x on the
+pool, 3.5-4x on the unpool (XLA fuses the one-hot expand into neighbors;
+this kernel's per-window select chain is VPU-serial). The production
+SegNet path therefore stays on the XLA formulation by measurement, not
+by lowering limitation.
 """
 
 import functools
