@@ -30,6 +30,24 @@ def trace(logdir: str = "/tmp/coastline-trace"):
         jax.profiler.stop_trace()
 
 
+def _warm(loop, args, retries: int = 2, backoff_s: float = 20.0):
+    """Compile + warm a timing loop, retrying transient remote-compile
+    failures (the TPU tunnel sporadically drops a response mid-body; the
+    retry recompiles cleanly). Non-transient errors re-raise immediately."""
+    for attempt in range(retries + 1):
+        try:
+            float(loop(*args))
+            return
+        except Exception as e:  # jax wraps transport errors opaquely
+            transient = any(
+                s in str(e) for s in ("remote_compile", "response body",
+                                      "HTTP 500", "DEADLINE_EXCEEDED")
+            )
+            if not transient or attempt == retries:
+                raise
+            time.sleep(backoff_s * (attempt + 1))
+
+
 def measure_dispatch_rtt(trials: int = 3) -> float:
     trivial = jax.jit(lambda x: x.sum())
     z = jnp.ones((8,))
@@ -64,7 +82,7 @@ def device_loop_seconds(step_fn, args, n_loop: int = 20, trials: int = 3,
         return loop
 
     loop = make_loop(n_loop)
-    float(loop(*args))  # compile + warm
+    _warm(loop, args)  # compile + warm (retries transient tunnel errors)
     t0 = time.perf_counter()
     float(loop(*args))
     t = time.perf_counter() - t0
@@ -80,7 +98,7 @@ def device_loop_seconds(step_fn, args, n_loop: int = 20, trials: int = 3,
         if scaled > n_loop:
             n_loop = scaled
             loop = make_loop(n_loop)
-            float(loop(*args))
+            _warm(loop, args)
 
     times = []
     for _ in range(trials):
