@@ -44,7 +44,10 @@ def test_partial_batch_flushes_within_delay():
 
 def test_concurrent_submitters_batch_together():
     calls = []
-    srv = BatchedPredictor(make_fake_predict(calls), batch_size=8, max_delay_ms=50)
+    # generous flush window: on a 1-vCPU host, thread STARTUP can straggle
+    # past a tight deadline and split the batch (the flush is now an
+    # absolute deadline from the first arrival)
+    srv = BatchedPredictor(make_fake_predict(calls), batch_size=8, max_delay_ms=2000)
     results = {}
 
     def client(i):
