@@ -28,6 +28,27 @@ REFERENCE_EPOCHS = {
     "ENet": 20,
 }
 COMNE_MODELS = ("SegNet", "PSPNet", "Fast-SCNN", "ENet")
+# Scheduler wiring differs per source harness: Main_Final/Extended step
+# ReduceLROnPlateau on TRAIN loss with patience 5 (`Main_Final.py:555,605`),
+# the comne subset steps on VAL loss with patience 3 (`comne.py:654,723`).
+PROTOCOLS = {"main": ("train", 5), "comne": ("val", 3)}
+
+
+def model_train_config(name, epochs=None, lr=1e-4, batch_size=2, seed=0,
+                       protocol="auto"):
+    """The exact TrainConfig the unified runner uses for a registry model —
+    reproducing whichever reference harness benchmarked it (epochs AND
+    scheduler wiring). `protocol` forces 'main'/'comne' for every model."""
+    from coastline.train.loop import TrainConfig
+
+    if protocol == "auto":
+        protocol = "comne" if name in COMNE_MODELS else "main"
+    plateau_on, patience = PROTOCOLS[protocol]
+    return TrainConfig(
+        epochs=epochs or REFERENCE_EPOCHS.get(name, 20), lr=lr,
+        batch_size=batch_size, eval_batch_size=batch_size, loss="bce",
+        plateau_on=plateau_on, plateau_patience=patience, seed=seed,
+    )
 DEFAULT_BENCH_MODELS = [
     "Robust UNet", "DeepLabV3+", "YOLO-SEG", "SegNet", "PSPNet", "Fast-SCNN",
     "ENet", "WaterNet", "MSWNet", "HRNet-Water", "SegFormer-Lite",
@@ -53,6 +74,9 @@ def main(argv=None):
                    help="also render per-model error maps (Extended protocol)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over N devices (0 = single chip)")
+    p.add_argument("--protocol", choices=["auto", "main", "comne"], default="auto",
+                   help="scheduler wiring: auto = per-model reference protocol "
+                        "(comne four step plateau on val/3, rest train/5)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -99,14 +123,18 @@ def main(argv=None):
     names = [m.strip() for m in args.models.split(",") if m.strip()]
     results, histories, param_counts, predictions = {}, {}, {}, {}
 
+    per_model_config = {}
     for name in names:
         model = create_model(name, dtype=dtype)
-        epochs = args.epochs or REFERENCE_EPOCHS.get(name, 20)
-        cfg = TrainConfig(
-            epochs=epochs, lr=args.lr, batch_size=args.batch_size,
-            eval_batch_size=args.batch_size, loss="bce",
-            plateau_on="train", plateau_patience=5, seed=args.seed,
+        cfg = model_train_config(
+            name, epochs=args.epochs, lr=args.lr, batch_size=args.batch_size,
+            seed=args.seed, protocol=args.protocol,
         )
+        epochs = cfg.epochs
+        per_model_config[name] = {
+            "epochs": cfg.epochs, "plateau_on": cfg.plateau_on,
+            "plateau_patience": cfg.plateau_patience,
+        }
         shapes = jax.eval_shape(
             lambda m=model: m.init(
                 jax.random.PRNGKey(0),
@@ -168,7 +196,8 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "benchmark_results.json"), "w") as f:
         json.dump(
             {
-                "config": vars(args),
+                "config": {**vars(args), "per_model": per_model_config,
+                           "inference_time_batch_size": args.batch_size},
                 "results": results,
                 "param_counts": param_counts,
                 "histories": histories,

@@ -220,7 +220,14 @@ class CoastlineExtractor:
             for j, im in enumerate(loaded):
                 if im is not None:
                     arr[j] = np.asarray(im.resize((s, s), Image.BILINEAR), np.uint8)
-            preds = self.predict_masks_batch(arr)
+            try:
+                preds = self.predict_masks_batch(arr)
+            except Exception as e:
+                # match the per-image error contract: one device-side
+                # failure degrades this chunk to Nones, the run continues
+                print(f"batched forward failed for chunk at {start}: {e}")
+                results.extend(None for _ in chunk_paths)
+                continue
             for j, (p, image) in enumerate(zip(chunk_paths, loaded)):
                 if image is None:
                     results.append(None)

@@ -96,7 +96,13 @@ def dilate(mask, size: int = 5, kernel=None):
 
 def coastline_band(water_mask, dilation_size: int = 5):
     """Dilated-minus-original boundary band
-    (`predict_coastline.py:599-602`): the pixels the dilation added."""
+    (`predict_coastline.py:599-602`): the pixels the dilation added.
+
+    The input is binarized (>0) first so 0/255 masks (the convention of the
+    reference's saved ``*_water_mask.png`` files, `predict_coastline.py:594`)
+    subtract in the same 0/1 domain as ``dilate``'s binarized output —
+    otherwise uint8 wrap-around turns the interior into 1-255 garbage."""
     water = jnp.asarray(water_mask)
-    dil = dilate(water, dilation_size)
-    return dil - water
+    binary = (water > 0).astype(water.dtype)
+    dil = dilate(binary, dilation_size)
+    return dil - binary

@@ -49,7 +49,21 @@ def make_mesh(
     if n % (space * dcn) != 0:
         raise ValueError(f"{n} devices not divisible by space={space} x dcn={dcn}")
     if dcn > 1:
-        grid = np.asarray(devices).reshape(dcn, n // (space * dcn), space)
+        inner = n // (space * dcn)
+        # The 'dcn' axis only maps onto actual DCN links if each row of the
+        # grid is one slice. Real multi-slice devices expose `slice_index`;
+        # group by it (via mesh_utils, which also optimizes the intra-slice
+        # ICI layout). Virtual/test meshes (CPU devices, no slice_index)
+        # fall back to a naive reshape — numerics identical, topology moot.
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        if None not in slice_ids and len(slice_ids) == dcn:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (1, inner, space), (dcn, 1, 1), devices=devices
+            )
+        else:
+            grid = np.asarray(devices).reshape(dcn, inner, space)
         return Mesh(grid, ("dcn", "data", "space"))
     grid = np.asarray(devices).reshape(n // space, space)
     return Mesh(grid, ("data", "space"))

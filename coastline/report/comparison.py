@@ -46,13 +46,18 @@ def plot_extended_comparison(results, save_path="./extended_comparison.png"):
     if not results:
         return None
     methods = list(results)
+    # label the panel with the batch the timing was measured at (per-image
+    # ms depends on it; evaluate_model records inference_batch_size)
+    batches = {results[m].get("inference_batch_size") for m in methods}
+    b = batches.pop() if len(batches) == 1 else None
+    time_label = f"Inference Time (ms, batch {b})" if b else "Inference Time (ms)"
     panels = [
         ("mean_iou", "IoU", True),
         ("mean_f1_score", "F1-Score", True),
         ("mean_accuracy", "Accuracy", True),
         ("mean_precision", "Precision", True),
         ("mean_recall", "Recall", True),
-        ("avg_inference_time", "Inference Time (ms)", False),  # lower better
+        ("avg_inference_time", time_label, False),  # lower better
     ]
     fig, axes = plt.subplots(2, 3, figsize=(18, 10))
     for ax, (metric, name, higher_better) in zip(axes.flat, panels):

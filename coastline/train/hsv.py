@@ -60,19 +60,25 @@ def hsv_water_prior(rgb01):
     return jnp.clip(score, 0.0, 1.0)
 
 
-def hsv_guided_bce(logits, targets, rgb01, weight: float = 0.1):
-    """BCE + confidence-weighted HSV-consistency regularizer.
-
-    consistency = |sigmoid(logits) - prior| weighted by the prior's own
-    confidence |2*prior - 1| (uncertain prior -> no gradient).
+def hsv_consistency(probs, rgb01, axes=None):
+    """Confidence-weighted HSV-consistency term: |probs - prior| weighted by
+    the prior's own confidence |2*prior - 1| (uncertain prior -> no
+    gradient). ``axes=None`` reduces to a scalar; pass ``axes=(1, 2)`` for a
+    per-image value (the train loop's masked-mean path). THE one definition
+    of the formula — both `hsv_guided_bce` and `loop._compute_loss` call it.
     """
+    prior = hsv_water_prior(rgb01)
+    confidence = jnp.abs(2.0 * prior - 1.0)
+    dev = confidence * jnp.abs(probs - prior)
+    return dev.mean() if axes is None else dev.mean(axis=axes)
+
+
+def hsv_guided_bce(logits, targets, rgb01, weight: float = 0.1):
+    """BCE + confidence-weighted HSV-consistency regularizer."""
     base = bce_loss(logits, targets)
     if weight == 0.0:
         return base
-    prior = hsv_water_prior(rgb01)
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     if probs.ndim == 4:
         probs = probs[..., 0]
-    confidence = jnp.abs(2.0 * prior - 1.0)
-    consistency = (confidence * jnp.abs(probs - prior)).mean()
-    return base + weight * consistency
+    return base + weight * hsv_consistency(probs, rgb01)

@@ -122,12 +122,10 @@ def _compute_loss(model, config: TrainConfig, logits, masks, valid, rgb01=None):
         per = jnp.maximum(l, 0.0) - l * t + jnp.log1p(jnp.exp(-jnp.abs(l)))
         per_img = per.mean(axis=tuple(range(1, per.ndim)))
         if config.loss == "hsv_bce" and rgb01 is not None:
-            from coastline.train.hsv import hsv_water_prior
+            from coastline.train.hsv import hsv_consistency
 
-            prior = hsv_water_prior(rgb01)
             probs = jax.nn.sigmoid(l[..., 0] if l.ndim == 4 else l)
-            conf = jnp.abs(2.0 * prior - 1.0)
-            cons = (conf * jnp.abs(probs - prior)).mean(axis=(1, 2))
+            cons = hsv_consistency(probs, rgb01, axes=(1, 2))
             per_img = per_img + config.hsv_weight * cons
     return (per_img * w).sum() / denom
 
@@ -383,5 +381,9 @@ class Evaluator:
         )
         results = {k: float(v) for k, v in agg.items()}
         results["avg_inference_time"] = per_image_time
+        # avg_inference_time is per-image AT THIS batch size — record it so
+        # artifacts/figures quoting the number are unambiguous (the
+        # reference also timed at its own loader batch, Main_Final.py:644).
+        results["inference_batch_size"] = int(x0.shape[0])
         results["total_samples"] = int(len(test_ds))
         return results

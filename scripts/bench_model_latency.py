@@ -40,11 +40,12 @@ def main():
             "ms_per_image": round(sec / 8.0 * 1e3, 3),
         }
         print(name, table[name], file=sys.stderr)
+    n_models = len(table)
     table["_meta"] = {
         "config": "512x512 bf16 batch 8, one v5e chip, adaptive on-device loop timing"
     }
     OUT.write_text(json.dumps(table, indent=2) + "\n")
-    print(json.dumps({"written": str(OUT), "models": len(table)}))
+    print(json.dumps({"written": str(OUT), "models": n_models}))
 
 
 if __name__ == "__main__":

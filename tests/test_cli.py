@@ -77,6 +77,38 @@ def test_predict_cli_missing_checkpoint(tmp_path, capsys):
     assert "hint" in capsys.readouterr().out
 
 
+def test_bench_all_per_model_protocol():
+    """The unified runner must reproduce each source harness's scheduler
+    wiring: the comne four step plateau on VAL loss with patience 3
+    (`/root/reference/comne.py:654,723`), everything else on TRAIN loss
+    with patience 5 (`Main_Final.py:555,605`) — with the reference epoch
+    budgets (`Main_Final.py:862-865`, `comne.py:978-983`)."""
+    from coastline.cli.bench_all import COMNE_MODELS, model_train_config
+
+    expected = {
+        "Robust UNet": ("train", 5, 20),
+        "DeepLabV3+": ("train", 5, 25),
+        "YOLO-SEG": ("train", 5, 20),
+        "SegNet": ("val", 3, 15),
+        "PSPNet": ("val", 3, 20),
+        "Fast-SCNN": ("val", 3, 25),
+        "ENet": ("val", 3, 20),
+        "WaterNet": ("train", 5, 20),
+    }
+    for name, (on, patience, epochs) in expected.items():
+        cfg = model_train_config(name)
+        assert (cfg.plateau_on, cfg.plateau_patience, cfg.epochs) == (
+            on, patience, epochs
+        ), name
+    # --protocol forces one wiring for every model
+    for name in ("Robust UNet", "SegNet"):
+        forced = model_train_config(name, protocol="comne")
+        assert (forced.plateau_on, forced.plateau_patience) == ("val", 3)
+        forced = model_train_config(name, protocol="main")
+        assert (forced.plateau_on, forced.plateau_patience) == ("train", 5)
+    assert set(COMNE_MODELS) == {"SegNet", "PSPNet", "Fast-SCNN", "ENet"}
+
+
 def test_full_pipeline_chain(tmp_path):
     """The whole user journey across the reference's entry points (SURVEY
     §2.7): multi-band TIFs -> convert CLI -> train CLI -> predict CLI on a

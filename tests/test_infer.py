@@ -32,6 +32,18 @@ def test_coastline_band_is_dilation_minus_mask():
     assert band.sum() > 0
 
 
+def test_coastline_band_handles_255_masks():
+    """A 0/255 water mask (the reference's saved *_water_mask.png
+    convention) must yield the same 0/1 band as the 0/1 mask — no uint8
+    wrap-around from subtracting raw 255s from the binarized dilation."""
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 1
+    band01 = np.asarray(coastline_band(mask, 5))
+    band255 = np.asarray(coastline_band(mask * 255, 5))
+    np.testing.assert_array_equal(band01, band255)
+    assert set(np.unique(band255)) <= {0, 1}
+
+
 def test_disk_yields_one_coastline_ring():
     """A filled disk -> dilation band -> exactly one external contour."""
     yy, xx = np.mgrid[0:128, 0:128]
@@ -143,3 +155,34 @@ def test_extract_batch_matches_per_image(tmp_path):
         np.testing.assert_array_equal(s["water_mask"], b["water_mask"])
         np.testing.assert_array_equal(s["coastline_mask"], b["coastline_mask"])
         assert s["coastline_count"] == b["coastline_count"]
+
+
+def test_extract_batch_degrades_chunk_on_forward_failure(tmp_path):
+    """A device-side failure in one chunk's forward yields None for that
+    chunk's images and the run continues — the per-image error contract."""
+    from PIL import Image
+
+    from coastline.infer.extract import CoastlineExtractor
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+
+    ex = CoastlineExtractor(image_size=64)
+    real_predict = ex.predict_masks_batch
+    calls = {"n": 0}
+
+    def flaky(arr):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated device failure")
+        return real_predict(arr)
+
+    ex.predict_masks_batch = flaky
+    results = ex.extract_batch(paths, None, 5, batch_size=2)
+    assert len(results) == 4
+    assert results[0] is None and results[1] is None  # failed chunk
+    assert results[2] is not None and results[3] is not None  # run continued
