@@ -23,6 +23,13 @@ from coastline.data.rasterize import mask_from_labelme
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
+# Device-resident uint8 caches above this are placed host-side instead
+# (HostDataset): ~half a v5e chip's 16 GB HBM, leaving room for params,
+# optimizer state and activations. Override via env or make_dataset().
+DEFAULT_MAX_DEVICE_BYTES = int(
+    os.environ.get("COASTLINE_MAX_DEVICE_DATASET_BYTES", 8 << 30)
+)
+
 
 @dataclass
 class DeviceDataset:
@@ -43,6 +50,68 @@ class DeviceDataset:
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
         return DeviceDataset(put(np.ascontiguousarray(images)),
                              put(np.ascontiguousarray(masks)), paths)
+
+
+@dataclass
+class HostDataset:
+    """Host-resident uint8 cache for datasets too large to park in HBM.
+
+    Same (images, masks, paths, __len__) surface as DeviceDataset, but the
+    arrays stay numpy; the train loop uploads `superbatch` batches at a
+    time (double-buffered device_put overlapping the previous superbatch's
+    compute — coastline.train.loop._chunk_stream). The reference streams
+    from disk per item per epoch (`Main_Final.py:40-54`), which has no HBM
+    ceiling but re-decodes forever; this keeps decode-once semantics with
+    an O(superbatch) device footprint. Training numerics are identical to
+    the resident path: the same global shuffle is gathered host-side per
+    chunk, so every batch's contents and order match exactly
+    (tests/test_train.py::test_host_dataset_training_matches_resident).
+    """
+
+    images: np.ndarray
+    masks: np.ndarray
+    paths: Optional[List[str]] = None
+    superbatch: int = 32  # batches uploaded per chunk
+
+    def __len__(self):
+        return int(self.images.shape[0])
+
+
+def dataset_nbytes(images: np.ndarray, masks: np.ndarray) -> int:
+    return int(images.nbytes + masks.nbytes)
+
+
+def make_dataset(images: np.ndarray, masks: np.ndarray, paths=None,
+                 sharding=None, placement: str = "auto",
+                 max_device_bytes: Optional[int] = None, superbatch: int = 32):
+    """Build a device- or host-resident dataset.
+
+    placement='auto' picks DeviceDataset while the uint8 cache fits the
+    device budget and HostDataset (chunked uploads) above it — with a log
+    line, so an eventual OOM is never mysterious. placement='device'
+    raises a sized, actionable error instead of letting XLA fail with an
+    opaque allocation message."""
+    limit = DEFAULT_MAX_DEVICE_BYTES if max_device_bytes is None else max_device_bytes
+    nbytes = dataset_nbytes(images, masks)
+    if placement == "device" and nbytes > limit:
+        raise ValueError(
+            f"dataset is {nbytes / 2**30:.2f} GiB but the device-resident "
+            f"budget is {limit / 2**30:.2f} GiB: a whole-dataset device_put "
+            f"would OOM the chip's HBM once activations are added. Use "
+            f"placement='host' (chunked uploads), raise max_device_bytes / "
+            f"COASTLINE_MAX_DEVICE_DATASET_BYTES, or shard over more "
+            f"devices (parallel.mesh.shard_dataset)."
+        )
+    if placement == "host" or (placement == "auto" and nbytes > limit):
+        if placement == "auto":
+            print(
+                f"dataset ({nbytes / 2**30:.2f} GiB) exceeds the "
+                f"device-resident budget ({limit / 2**30:.2f} GiB); using "
+                f"host-resident cache with {superbatch}-batch chunked uploads"
+            )
+        return HostDataset(np.ascontiguousarray(images),
+                           np.ascontiguousarray(masks), paths, superbatch)
+    return DeviceDataset.from_numpy(images, masks, paths, sharding)
 
 
 def load_image_rgb(path: str, fallback_size=(512, 512)) -> Image.Image:
@@ -124,13 +193,14 @@ def build_dataset(
     with_paths: bool = False,
     sharding=None,
 ) -> DeviceDataset:
-    """Decode + rasterize + resize once; stack and push to device."""
+    """Decode + rasterize + resize once; stack and place (device-resident
+    while it fits the HBM budget, host-resident chunked uploads above)."""
     images, masks = [], []
     for img_path, lbl_path in zip(image_paths, label_paths):
         img, msk = load_pair(img_path, lbl_path, image_size)
         images.append(img)
         masks.append(msk)
-    return DeviceDataset.from_numpy(
+    return make_dataset(
         np.stack(images), np.stack(masks),
         list(image_paths) if with_paths else None, sharding,
     )

@@ -31,7 +31,12 @@ import numpy as np
 import optax
 from flax import struct
 
-from coastline.data.pipeline import IMAGENET_MEAN, IMAGENET_STD, DeviceDataset
+from coastline.data.pipeline import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    DeviceDataset,
+    HostDataset,
+)
 from coastline.train.lr import PlateauState, plateau_init, plateau_update
 from coastline.train.metrics import per_image_metrics
 
@@ -267,6 +272,31 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool, rng: np.random.Gene
     )
 
 
+def _chunk_stream(ds: HostDataset, idx: np.ndarray, valid: np.ndarray):
+    """Yield device chunks of a host-resident dataset, double-buffered.
+
+    Each chunk covers `ds.superbatch` consecutive batches of the epoch's
+    global shuffle: their samples are gathered host-side (numpy fancy
+    indexing), uploaded with async `device_put`, and the batch indices are
+    remapped to chunk-local positions — so the jitted epoch scan runs
+    UNCHANGED on the chunk and every batch's contents/order are identical
+    to the device-resident path. Because the consumer's compute dispatch is
+    non-blocking, each next chunk's gather+upload overlaps the device's
+    work on the current one.
+    """
+    sb = ds.superbatch
+    n_batches = idx.shape[0]
+    for j0 in range(0, n_batches, sb):
+        j1 = min(j0 + sb, n_batches)
+        gidx = np.asarray(idx[j0:j1])
+        flat = gidx.reshape(-1)
+        imgs = jax.device_put(ds.images[flat])
+        msks = jax.device_put(ds.masks[flat])
+        lidx = np.arange(flat.size, dtype=np.int32).reshape(gidx.shape)
+        yield (imgs, msks, jnp.asarray(lidx),
+               jnp.asarray(valid[j0:j1]), j1 - j0)
+
+
 class Evaluator:
     """Unified train/eval protocol — the reference `ModelEvaluator` rebuilt.
 
@@ -285,11 +315,77 @@ class Evaluator:
 
         self._log = JsonlLogger(config.log_path or None)
 
-    def train_model(self, train_ds: DeviceDataset, val_ds: DeviceDataset, verbose=True):
+    def _run_train_epoch(self, state, ds, idx, valid):
+        """One train epoch on either dataset residency. HostDataset runs
+        the same compiled scan per uploaded chunk (state threads through,
+        so parameter updates are bit-identical to the resident path); the
+        reported loss is the batch-count-weighted mean over chunks ==
+        the resident path's mean over all batches."""
+        if isinstance(ds, HostDataset):
+            losses, counts = [], []
+            for imgs, msks, lidx, v, cnt in _chunk_stream(ds, idx, valid):
+                state, loss = self._train_epoch(state, imgs, msks, lidx, v)
+                losses.append(loss)
+                counts.append(cnt)
+            total = sum(counts)
+            return state, sum(l * c for l, c in zip(losses, counts)) / total
+        return self._train_epoch(
+            state, ds.images, ds.masks, jnp.asarray(idx), jnp.asarray(valid)
+        )
+
+    def _run_eval_epoch(self, params, batch_stats, ds, idx, valid):
+        """Validation pass on either residency. Chunked means/stds combine
+        exactly via per-chunk sufficient statistics (n, mean, E[x^2])."""
+        if not isinstance(ds, HostDataset):
+            return self._eval_epoch(
+                params, batch_stats, ds.images, ds.masks,
+                jnp.asarray(idx), jnp.asarray(valid),
+            )
+        s1, s2 = {}, {}
+        n_tot, loss_num, nb = 0.0, 0.0, 0
+        for imgs, msks, lidx, v, cnt in _chunk_stream(ds, idx, valid):
+            loss, agg = self._eval_epoch(params, batch_stats, imgs, msks, lidx, v)
+            nv = float(np.asarray(v).sum())
+            loss_num = loss_num + loss * cnt
+            nb += cnt
+            for k, m in agg.items():
+                if not k.startswith("mean_"):
+                    continue
+                base = k[5:]
+                sd = agg[f"std_{base}"]
+                s1[base] = s1.get(base, 0.0) + m * nv
+                s2[base] = s2.get(base, 0.0) + (sd * sd + m * m) * nv
+            n_tot += nv
+        n = max(n_tot, 1.0)
+        agg = {}
+        for base in s1:
+            m = s1[base] / n
+            var = jnp.maximum(s2[base] / n - m * m, 0.0)
+            agg[f"mean_{base}"] = m
+            agg[f"std_{base}"] = jnp.sqrt(var)
+        return loss_num / nb, agg
+
+    def train_model(self, train_ds: DeviceDataset, val_ds: DeviceDataset, verbose=True,
+                    init_variables=None):
+        """`init_variables={'params', 'batch_stats'}` (e.g. from
+        utils.torch_import) replaces the random init — the optimizer state
+        is value-independent at step 0 (Adam moments start at zero), so
+        injecting params here exactly reproduces training-from-that-init."""
         cfg = self.config
         state = create_train_state(
             self.model, cfg, (1, *train_ds.images.shape[1:3], train_ds.images.shape[3])
         )
+        if init_variables is not None:
+            cast = lambda ref, new: jax.tree.map(
+                lambda r, n: jnp.asarray(n, r.dtype), ref, new
+            )
+            state = state.replace(
+                params=cast(state.params, init_variables["params"]),
+                batch_stats=cast(
+                    state.batch_stats,
+                    init_variables.get("batch_stats", state.batch_stats),
+                ),
+            )
         host_rng = np.random.default_rng(cfg.seed)
         history = {k: [] for k in ("train_loss", "val_loss", "val_iou", "val_f1", "val_accuracy")}
         best_iou = 0.0
@@ -297,17 +393,14 @@ class Evaluator:
         vidx, vvalid = batch_indices(
             len(val_ds), cfg.eval_batch_size, shuffle=False, rng=host_rng
         )
-        vidx, vvalid = jnp.asarray(vidx), jnp.asarray(vvalid)
 
         for epoch in range(cfg.epochs):
             idx, valid = batch_indices(
                 len(train_ds), cfg.batch_size, shuffle=True, rng=host_rng
             )
-            state, train_loss = self._train_epoch(
-                state, train_ds.images, train_ds.masks, jnp.asarray(idx), jnp.asarray(valid)
-            )
-            val_loss, agg = self._eval_epoch(
-                state.params, state.batch_stats, val_ds.images, val_ds.masks, vidx, vvalid
+            state, train_loss = self._run_train_epoch(state, train_ds, idx, valid)
+            val_loss, agg = self._run_eval_epoch(
+                state.params, state.batch_stats, val_ds, vidx, vvalid
             )
             train_loss = float(train_loss)
             val_loss = float(val_loss)
@@ -355,7 +448,6 @@ class Evaluator:
             len(test_ds), cfg.eval_batch_size, shuffle=False,
             rng=np.random.default_rng(0),
         )
-        idx, valid = jnp.asarray(idx), jnp.asarray(valid)
 
         # Timed inference path (parity: Main_Final.py:644-651, but compile
         # excluded and timed with the dependency-chained on-device loop —
@@ -376,8 +468,8 @@ class Evaluator:
         )
         per_image_time = sec / x0.shape[0]
 
-        _, agg = self._eval_epoch(
-            state.params, state.batch_stats, test_ds.images, test_ds.masks, idx, valid
+        _, agg = self._run_eval_epoch(
+            state.params, state.batch_stats, test_ds, idx, valid
         )
         results = {k: float(v) for k, v in agg.items()}
         results["avg_inference_time"] = per_image_time

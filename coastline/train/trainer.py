@@ -26,11 +26,18 @@ import numpy as np
 from PIL import Image
 
 from coastline.data.augment import make_augment_fn
-from coastline.data.pipeline import DeviceDataset, build_dataset, pair_files, seeded_split
+from coastline.data.pipeline import (
+    DeviceDataset,
+    HostDataset,
+    build_dataset,
+    pair_files,
+    seeded_split,
+)
 from coastline.models.unet import UNet
 from coastline.train.checkpoint import CheckpointManager
 from coastline.train.loop import (
     TrainConfig,
+    _chunk_stream,
     batch_indices,
     create_train_state,
     make_train_epoch,
@@ -153,6 +160,7 @@ class WaterSegmentationTrainer:
                 (losses * has_valid).sum() / n,
                 (accs * has_valid).sum() / n,
                 (ious * has_valid).sum() / n,
+                has_valid.sum(),  # batch count for exact chunked combining
             )
 
         return validate
@@ -187,21 +195,44 @@ class WaterSegmentationTrainer:
         vidx, vvalid = batch_indices(
             len(val_ds), cfg.batch_size, shuffle=False, rng=host_rng
         )
-        vidx, vvalid = jnp.asarray(vidx), jnp.asarray(vvalid)
+
+        def run_train_epoch(state, idx, valid):
+            """Device- or host-resident train epoch (chunked uploads for
+            HostDataset — identical numerics, see loop._chunk_stream)."""
+            if isinstance(train_ds, HostDataset):
+                losses, counts = [], []
+                for imgs, msks, lidx, v, cnt in _chunk_stream(train_ds, idx, valid):
+                    state, l = train_epoch(state, imgs, msks, lidx, v)
+                    losses.append(l)
+                    counts.append(cnt)
+                return state, sum(
+                    l * c for l, c in zip(losses, counts)
+                ) / sum(counts)
+            return train_epoch(state, train_ds.images, train_ds.masks,
+                               jnp.asarray(idx), jnp.asarray(valid))
+
+        def run_validate(state):
+            if isinstance(val_ds, HostDataset):
+                tot, n_tot = np.zeros(3), 0.0
+                for imgs, msks, lidx, v, cnt in _chunk_stream(val_ds, vidx, vvalid):
+                    l, a, i, n = validate(state.params, state.batch_stats,
+                                          imgs, msks, lidx, v)
+                    n = float(n)
+                    tot += np.array([float(l), float(a), float(i)]) * n
+                    n_tot += n
+                return tuple((tot / max(n_tot, 1.0)).tolist())
+            l, a, i, _ = validate(state.params, state.batch_stats,
+                                  val_ds.images, val_ds.masks,
+                                  jnp.asarray(vidx), jnp.asarray(vvalid))
+            return l, a, i
 
         best_iou, stale, t_start = -1.0, 0, time.time()
         for epoch in range(cfg.epochs):
             idx, valid = batch_indices(
                 len(train_ds), cfg.batch_size, shuffle=True, rng=host_rng
             )
-            state, train_loss = train_epoch(
-                state, train_ds.images, train_ds.masks,
-                jnp.asarray(idx), jnp.asarray(valid),
-            )
-            val_loss, val_acc, val_iou = validate(
-                state.params, state.batch_stats,
-                val_ds.images, val_ds.masks, vidx, vvalid,
-            )
+            state, train_loss = run_train_epoch(state, idx, valid)
+            val_loss, val_acc, val_iou = run_validate(state)
             train_loss, val_loss = float(train_loss), float(val_loss)
             val_acc, val_iou = float(val_acc), float(val_iou)
 

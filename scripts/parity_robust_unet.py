@@ -4,18 +4,31 @@ Trains the reference's ACTUAL RobustUNet + ModelEvaluator protocol
 (`/root/reference/Main_Final.py:549-668`, imported at runtime from the
 read-only mount) and the coastline RobustUNet on the identical synthetic
 dataset, identical sequential 80/20 split, lr, batch size and epoch count,
-then compares IoU trajectories and final evaluate_model() IoU. Converts the
-round-1 "protocol parity argued" into "accuracy parity measured".
+then compares final evaluate_model() IoU — multi-seed on both sides, with
+per-seed caching so the ~6.5h/seed torch-CPU runs survive interrupted
+sessions.
 
-Runs CPU-only (torch is CPU; the coastline side is forced to CPU f32 so
-both frameworks see identical arithmetic class). Writes
-artifacts/parity_robust_unet/parity.json, consumed by
+Round-3 upgrades over the round-2 (96^2/10-image) version:
+  * full Main_Final protocol scale: 512^2, 50 scenes (40 train), 20 epochs,
+    batch 2, lr 1e-4 (`Main_Final.py:862-865,692-694`)
+  * --seeds N,M: independent seeds per side (init + shuffle + dropout; the
+    dataset itself is pinned to rng(0) on both sides, like the reference's
+    fixed file list)
+  * --coastline-platform tpu: the production target; --coastline-dtype
+    gives the f32-vs-bf16 axis
+  * --init-from-torch S: ports torch seed S's saved INITIAL state_dict
+    through utils.torch_import (forward-exact, tests/test_torch_import.py)
+    so the coastline run starts from bit-identical weights — isolating
+    optimizer/BN/data-order effects from init-draw variance
+  * --aggregate writes parity.json from every cached run matching the
+    protocol config: per-seed IoUs, per-side mean/std, |mean delta|.
+
+Writes artifacts/parity_robust_unet/parity.json, consumed by
 tests/test_parity_artifact.py.
-
-Usage: python scripts/parity_robust_unet.py [--size 96] [--n 10] [--epochs 10]
 """
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -23,6 +36,8 @@ import time
 import types
 
 import numpy as np
+
+ART_DIR = "artifacts/parity_robust_unet"
 
 
 def load_reference_main_final():
@@ -52,7 +67,7 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def run_torch_side(images, masks, n_train, epochs, batch_size, lr):
+def run_torch_side(images, masks, n_train, epochs, batch_size, lr, seed):
     import torch
     from torch.utils.data import DataLoader, Dataset
 
@@ -86,8 +101,13 @@ def run_torch_side(images, masks, n_train, epochs, batch_size, lr):
         batch_size=batch_size, shuffle=False, num_workers=0,
     )
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = MF.RobustUNet(n_channels=3, n_classes=1).to(torch.device("cpu"))
+    # save the INITIAL weights so --init-from-torch can start a coastline
+    # run from bit-identical parameters (available minutes into this run,
+    # not after its ~hours of training)
+    os.makedirs(ART_DIR, exist_ok=True)
+    torch.save(model.state_dict(), os.path.join(ART_DIR, f"torch_init_s{seed}.pt"))
     evaluator = MF.ModelEvaluator(torch.device("cpu"))
     t0 = time.time()
     tr = evaluator.train_model(model, train_loader, val_loader,
@@ -103,25 +123,40 @@ def run_torch_side(images, masks, n_train, epochs, batch_size, lr):
     }
 
 
-def run_coastline_side(images, masks, n_train, epochs, batch_size, lr):
+def run_coastline_side(images, masks, n_train, epochs, batch_size, lr, seed,
+                       platform="cpu", dtype="float32", init_from_torch=None):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp  # noqa: F401
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
 
     from coastline.data.pipeline import DeviceDataset
     from coastline.models.robust_unet import RobustUNet
     from coastline.train.loop import Evaluator, TrainConfig
 
+    init_variables = None
+    if init_from_torch is not None:
+        import torch
+
+        from coastline.utils.torch_import import import_reference_robust_unet
+
+        sd = torch.load(
+            os.path.join(ART_DIR, f"torch_init_s{init_from_torch}.pt"),
+            map_location="cpu",
+        )
+        init_variables = import_reference_robust_unet(sd)
+        print(f"starting from torch seed-{init_from_torch} init")
+
     train_ds = DeviceDataset.from_numpy(images[:n_train], masks[:n_train])
     val_ds = DeviceDataset.from_numpy(images[n_train:], masks[n_train:])
-    model = RobustUNet()  # f32 on CPU
+    model = RobustUNet(dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     cfg = TrainConfig(epochs=epochs, lr=lr, batch_size=batch_size,
                       eval_batch_size=batch_size, loss="bce",
-                      plateau_on="train", plateau_patience=5, seed=0)
+                      plateau_on="train", plateau_patience=5, seed=seed)
     ev = Evaluator(model, cfg)
     t0 = time.time()
-    tr = ev.train_model(train_ds, val_ds)
+    tr = ev.train_model(train_ds, val_ds, init_variables=init_variables)
     res = ev.evaluate_model(val_ds)
     return {
         "best_iou": float(tr["best_iou"]),
@@ -133,27 +168,96 @@ def run_coastline_side(images, masks, n_train, epochs, batch_size, lr):
     }
 
 
+def aggregate(out_path, run_cfg):
+    """Build parity.json from every cached per-seed run matching run_cfg."""
+    sides = {"torch": [], "coastline": []}
+    for path in sorted(glob.glob(os.path.join(ART_DIR, "side_*.json"))):
+        with open(path) as f:
+            cached = json.load(f)
+        if {k: cached.get("config", {}).get(k) for k in run_cfg} != run_cfg:
+            continue
+        side = "torch" if os.path.basename(path).startswith("side_torch") else "coastline"
+        sides[side].append({
+            "cache": os.path.basename(path),
+            "seed": cached.get("seed"),
+            "variant": cached.get("variant", {}),
+            "final_iou": cached["result"]["final_iou"],
+            "final_f1": cached["result"]["final_f1"],
+            "best_iou": cached["result"]["best_iou"],
+            "train_seconds": cached["result"]["train_seconds"],
+        })
+    # same-init runs are a separate comparison axis, not part of the
+    # independent-seed mean (they reuse a torch seed's init draw)
+    cl_indep = [r for r in sides["coastline"]
+                if r["variant"].get("init_from_torch") is None]
+    cl_sameinit = [r for r in sides["coastline"]
+                   if r["variant"].get("init_from_torch") is not None]
+    out = {"config": run_cfg, "torch_runs": sides["torch"],
+           "coastline_runs": cl_indep, "coastline_sameinit_runs": cl_sameinit}
+
+    def stats(runs):
+        ious = [r["final_iou"] for r in runs]
+        return {
+            "n": len(ious),
+            "final_iou_mean": float(np.mean(ious)) if ious else None,
+            "final_iou_std": float(np.std(ious)) if ious else None,
+            "final_ious": ious,
+        }
+
+    out["torch"] = stats(sides["torch"])
+    out["coastline"] = stats(cl_indep)
+    if out["torch"]["n"] and out["coastline"]["n"]:
+        out["iou_delta"] = abs(
+            out["torch"]["final_iou_mean"] - out["coastline"]["final_iou_mean"]
+        )
+    if cl_sameinit:
+        by_seed = {r["seed"]: r for r in sides["torch"]}
+        deltas = []
+        for r in cl_sameinit:
+            t = by_seed.get(r["variant"]["init_from_torch"])
+            if t:
+                deltas.append(abs(t["final_iou"] - r["final_iou"]))
+        if deltas:
+            out["sameinit_iou_delta"] = float(np.mean(deltas))
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k in ("torch", "coastline", "iou_delta",
+                               "sameinit_iou_delta")}, indent=2))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--size", type=int, default=96,
-                   help="square scene size (512 is the full protocol; 96 "
-                        "keeps the torch CPU side tractable on 1 vCPU)")
-    p.add_argument("--n", type=int, default=10)
-    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--size", type=int, default=512,
+                   help="square scene size (512 is the full protocol)")
+    p.add_argument("--n", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--out", default="artifacts/parity_robust_unet/parity.json")
-    p.add_argument("--side", choices=["both", "torch", "coastline"],
-                   default="both",
-                   help="run one side only and cache its result; 'both' "
-                        "reuses cached sides with matching config (the "
-                        "full run is ~2h on this 1-vCPU host, so sides "
-                        "are resumable across interrupted sessions)")
+    p.add_argument("--seeds", default="0", help="comma-separated seeds")
+    p.add_argument("--coastline-platform", choices=["cpu", "tpu"], default="cpu")
+    p.add_argument("--coastline-dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--init-from-torch", type=int, default=None,
+                   help="start the coastline run from torch seed N's saved "
+                        "initial weights (requires torch side started first)")
+    p.add_argument("--out", default=os.path.join(ART_DIR, "parity.json"))
+    p.add_argument("--side", choices=["torch", "coastline", "aggregate"],
+                   default="aggregate")
     args = p.parse_args(argv)
+
+    run_cfg = {k: vars(args)[k]
+               for k in ("size", "n", "epochs", "batch_size", "lr")}
+    os.makedirs(ART_DIR, exist_ok=True)
+
+    if args.side == "aggregate":
+        aggregate(args.out, run_cfg)
+        return 0
 
     from coastline.data.synthetic import make_scene
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(0)  # dataset pinned across seeds/sides
     pairs = [make_scene(rng, args.size) for _ in range(args.n)]
     images = np.stack([p[0] for p in pairs])
     masks = np.stack([p[1] for p in pairs])
@@ -162,48 +266,43 @@ def main(argv=None):
     print(f"parity run: {n_train} train / {args.n - n_train} val @ "
           f"{args.size}^2, {args.epochs} epochs, batch {args.batch_size}")
 
-    run_cfg = {k: vars(args)[k]
-               for k in ("size", "n", "epochs", "batch_size", "lr")}
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-
-    def cache_path(side):
-        return os.path.join(os.path.dirname(args.out), f"side_{side}.json")
-
-    def run_side(side):
-        cache = cache_path(side)
+    for seed in [int(s) for s in args.seeds.split(",")]:
+        variant = {}
+        if args.side == "coastline":
+            variant = {"platform": args.coastline_platform,
+                       "dtype": args.coastline_dtype,
+                       "init_from_torch": args.init_from_torch}
+            tag = f"_{args.coastline_platform}_{args.coastline_dtype}"
+            if args.init_from_torch is not None:
+                tag += f"_torchinit{args.init_from_torch}"
+        else:
+            tag = ""
+        cache = os.path.join(ART_DIR, f"side_{args.side}_s{seed}{tag}.json")
         if os.path.exists(cache):
             with open(cache) as f:
                 cached = json.load(f)
-            if cached.get("config") == run_cfg:
-                print(f"\n--- {side}: cached ({cache}) ---")
-                return cached["result"]
-        label = ("coastline (JAX, CPU f32)" if side == "coastline"
-                 else "reference (torch, CPU)")
-        print(f"\n--- {label} ---")
-        fn = run_coastline_side if side == "coastline" else run_torch_side
-        res = fn(images, masks, n_train, args.epochs,
-                 args.batch_size, args.lr)
-        print(f"final IoU {res['final_iou']:.4f} "
+            if ({k: cached.get("config", {}).get(k) for k in run_cfg} == run_cfg
+                    and cached.get("seed") == seed):
+                print(f"seed {seed}: cached ({cache})")
+                continue
+        print(f"\n--- {args.side} seed {seed} {variant or ''} ---")
+        if args.side == "torch":
+            res = run_torch_side(images, masks, n_train, args.epochs,
+                                 args.batch_size, args.lr, seed)
+        else:
+            res = run_coastline_side(
+                images, masks, n_train, args.epochs, args.batch_size,
+                args.lr, seed, platform=args.coastline_platform,
+                dtype=args.coastline_dtype,
+                init_from_torch=args.init_from_torch,
+            )
+        print(f"seed {seed}: final IoU {res['final_iou']:.4f} "
               f"({res['train_seconds']:.0f}s)")
         with open(cache, "w") as f:
-            json.dump({"config": run_cfg, "result": res}, f, indent=2)
-        return res
+            json.dump({"config": run_cfg, "seed": seed, "variant": variant,
+                       "result": res}, f, indent=2)
 
-    if args.side != "both":
-        run_side(args.side)
-        return 0
-
-    ours = run_side("coastline")
-    theirs = run_side("torch")
-    out = {
-        "config": vars(args),
-        "torch_reference": theirs,
-        "coastline": ours,
-        "iou_delta": abs(theirs["final_iou"] - ours["final_iou"]),
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"\nIoU delta: {out['iou_delta']:.4f} -> {args.out}")
+    aggregate(args.out, run_cfg)
     return 0
 
 

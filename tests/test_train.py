@@ -111,6 +111,71 @@ def test_end_to_end_training_learns_synthetic_coast():
     assert abs(results["mean_iou"] - hist["val_iou"][-1]) < 1e-4
 
 
+def test_host_dataset_training_matches_resident():
+    """HostDataset (chunked per-superbatch uploads) must reproduce the
+    device-resident path's training numerics exactly: same parameter trees,
+    same loss/metric history — the chunks gather the identical global
+    shuffle, so every batch matches (VERDICT r2 #5)."""
+    from coastline.data.pipeline import HostDataset
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.robust_unet import RobustUNet
+    from coastline.train.loop import Evaluator, TrainConfig
+
+    train_dev = synthetic_device_dataset(10, size=32, seed=0)
+    val_dev = synthetic_device_dataset(5, size=32, seed=1)
+    # host twins of the same arrays; superbatch=2 with batch 4 ->
+    # 3 train batches = 2 chunks (one ragged) per epoch
+    train_host = HostDataset(np.asarray(train_dev.images),
+                             np.asarray(train_dev.masks), superbatch=2)
+    val_host = HostDataset(np.asarray(val_dev.images),
+                           np.asarray(val_dev.masks), superbatch=2)
+
+    cfg = TrainConfig(epochs=2, batch_size=4, eval_batch_size=2, lr=1e-3,
+                      log_every=10)
+    outs, states, evals = [], [], []
+    for tds, vds in ((train_dev, val_dev), (train_host, val_host)):
+        ev = Evaluator(RobustUNet(base=16), cfg)
+        outs.append(ev.train_model(tds, vds, verbose=False))
+        states.append(ev.state)
+        evals.append(ev.evaluate_model(vds))
+
+    # parameters bit-identical (same init seed, same batch sequence)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        states[0].params, states[1].params,
+    )
+    for k in outs[0]["history"]:
+        np.testing.assert_allclose(outs[0]["history"][k], outs[1]["history"][k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for k in ("mean_iou", "std_iou", "mean_f1_score", "mean_accuracy"):
+        assert abs(evals[0][k] - evals[1][k]) < 1e-5, k
+
+
+def test_make_dataset_placement_and_oom_message(capsys):
+    """Auto placement flips to HostDataset above the budget with a clear log
+    line; forcing placement='device' above it raises a sized, actionable
+    error instead of an opaque XLA OOM."""
+    from coastline.data.pipeline import DeviceDataset, HostDataset, make_dataset
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+    msks = rng.integers(0, 2, (4, 16, 16), dtype=np.uint8)
+
+    assert isinstance(make_dataset(imgs, msks), DeviceDataset)
+
+    ds = make_dataset(imgs, msks, max_device_bytes=100)
+    assert isinstance(ds, HostDataset)
+    assert "host-resident" in capsys.readouterr().out
+
+    with pytest.raises(ValueError) as e:
+        make_dataset(imgs, msks, placement="device", max_device_bytes=100)
+    msg = str(e.value)
+    assert "GiB" in msg and "placement='host'" in msg
+
+    # explicit host placement stays silent and works below the budget too
+    assert isinstance(make_dataset(imgs, msks, placement="host"), HostDataset)
+
+
 def test_rasterizer_known_areas():
     from coastline.data.rasterize import rasterize_polygons
 

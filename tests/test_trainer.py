@@ -96,7 +96,7 @@ def test_validate_masks_padded_samples():
     validate = trainer._make_validate()
 
     idx, valid = batch_indices(3, 2, shuffle=False, rng=np.random.default_rng(0))
-    loss, acc, iou = validate(
+    loss, acc, iou, _ = validate(
         state.params, state.batch_stats, ds.images, ds.masks,
         jnp.asarray(idx), jnp.asarray(valid),
     )
