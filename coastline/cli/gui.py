@@ -3,12 +3,18 @@
 Functional parity with the reference's `CoastlineGUI` + `ZoomableImageCanvas`
 (`/root/reference/predict_coastline.py:34-253,848-1544`): model auto-load,
 single/multi/folder selection, background-thread batch processing with a
-progress bar, tabbed result viewer with wheel-zoom/drag-pan canvases, batch
-save. Kept deliberately thin: ALL compute lives in
-`coastline.infer.CoastlineExtractor` (device-side), and — unlike the
-reference, whose worker thread mutates GUI state unguarded
-(SURVEY.md §5.2) — results pass through a thread-safe queue drained on the
-Tk main loop.
+progress bar, tabbed result viewer with wheel-zoom/drag-pan canvases, a
+per-image result browser (every processed image stays selectable and
+re-viewable, like the reference's result list), batch save. Kept
+deliberately thin: ALL compute lives in `coastline.infer.CoastlineExtractor`
+(device-side), and — unlike the reference, whose worker thread mutates GUI
+state unguarded (SURVEY.md §5.2) — results pass through a thread-safe queue
+drained on the Tk main loop; `ResultStore`/`drain_queue` hold that protocol
+tkinter-free so it is testable headless (tests/test_gui.py).
+
+The Run action is disabled until the model finishes loading (the reference
+lets you race Run against its loader thread and dies on a missing
+attribute).
 
 Headless environments: `python -m coastline.cli.predict` is the primary
 interface; this module import-gates tkinter.
@@ -18,6 +24,69 @@ import os
 import queue
 import sys
 import threading
+
+
+class ResultStore:
+    """Ordered store of processed images for the result browser.
+
+    Failed extractions (result None) are recorded so the browser shows
+    every attempted image, but `saveable()` returns only successes.
+    """
+
+    def __init__(self):
+        self._entries = []  # (path, result-or-None)
+
+    def add(self, path, result):
+        self._entries.append((path, result))
+        return len(self._entries) - 1
+
+    def __len__(self):
+        return len(self._entries)
+
+    def get(self, index):
+        return self._entries[index]
+
+    def labels(self):
+        return [
+            f"{os.path.basename(p)}{'' if r is not None else '  (failed)'}"
+            for p, r in self._entries
+        ]
+
+    def saveable(self):
+        return [r for _, r in self._entries if r is not None]
+
+    def clear(self):
+        self._entries.clear()
+
+
+def drain_queue(q, store, *, on_status=None, on_result=None, on_ready=None,
+                on_done=None):
+    """Drain the worker->UI queue, applying the GUI message protocol.
+
+    Messages: ("status", text) | ("ready", None) | ("result", (i, path,
+    result)) | ("done", None). Results are appended to `store`; callbacks
+    receive UI-ready payloads. Returns the number of messages handled.
+    Pure (no tkinter) so the protocol is testable headless.
+    """
+    n = 0
+    try:
+        while True:
+            kind, payload = q.get_nowait()
+            n += 1
+            if kind == "status" and on_status:
+                on_status(payload)
+            elif kind == "ready" and on_ready:
+                on_ready()
+            elif kind == "result":
+                i, p, result = payload
+                idx = store.add(p, result)
+                if on_result:
+                    on_result(i, idx, p, result)
+            elif kind == "done" and on_done:
+                on_done()
+    except queue.Empty:
+        pass
+    return n
 
 
 def main(argv=None):
@@ -99,13 +168,16 @@ def main(argv=None):
             root.geometry("1100x750")
             self.queue = queue.Queue()
             self.paths = []
-            self.results = []
+            self.store = ResultStore()
+            self.extractor = None  # set by the loader thread; Run gated on it
 
             bar = ttk.Frame(root)
             bar.pack(fill="x", padx=6, pady=4)
             ttk.Button(bar, text="Images…", command=self.pick_images).pack(side="left")
             ttk.Button(bar, text="Folder…", command=self.pick_folder).pack(side="left")
-            ttk.Button(bar, text="Run", command=self.run).pack(side="left", padx=8)
+            self.run_btn = ttk.Button(bar, text="Run", command=self.run,
+                                      state="disabled")
+            self.run_btn.pack(side="left", padx=8)
             ttk.Button(bar, text="Save all…", command=self.save_all).pack(side="left")
             self.dilation = tk.IntVar(value=20)  # GUI default (reference :870)
             ttk.Label(bar, text="dilation").pack(side="left", padx=(12, 2))
@@ -116,8 +188,19 @@ def main(argv=None):
             self.progress = ttk.Progressbar(root)
             self.progress.pack(fill="x", padx=6)
 
-            tabs = ttk.Notebook(root)
-            tabs.pack(fill="both", expand=True, padx=6, pady=4)
+            body = ttk.Frame(root)
+            body.pack(fill="both", expand=True, padx=6, pady=4)
+            # result browser: every processed image stays selectable
+            # (reference predict_coastline.py:848-1544)
+            left = ttk.Frame(body)
+            left.pack(side="left", fill="y")
+            ttk.Label(left, text="Results").pack(anchor="w")
+            self.listbox = tk.Listbox(left, width=32)
+            self.listbox.pack(fill="y", expand=True)
+            self.listbox.bind("<<ListboxSelect>>", self._on_select)
+
+            tabs = ttk.Notebook(body)
+            tabs.pack(side="left", fill="both", expand=True)
             self.canvases = {}
             for name in ("Input", "Water mask", "Coastline band", "Overlay"):
                 c = ZoomCanvas(tabs)
@@ -130,11 +213,13 @@ def main(argv=None):
         def _load_model(self):
             try:
                 ckpt = "./models"
-                self.extractor = (
+                extractor = (
                     CoastlineExtractor(checkpoint_dir=ckpt)
                     if os.path.isdir(os.path.join(ckpt, "best"))
                     else CoastlineExtractor()
                 )
+                self.extractor = extractor
+                self.queue.put(("ready", None))
                 self.queue.put(("status", "model ready"))
             except Exception as e:
                 self.queue.put(("status", f"model load failed: {e}"))
@@ -159,39 +244,57 @@ def main(argv=None):
                 self.status.set(f"{len(self.paths)} image(s) in folder")
 
         def run(self):
+            if self.extractor is None:
+                messagebox.showinfo("coastline", "model is still loading")
+                return
             if not self.paths:
                 messagebox.showinfo("coastline", "select images first")
                 return
-            self.results = []
+            self.store.clear()
+            self.listbox.delete(0, "end")
             self.progress.configure(maximum=len(self.paths), value=0)
             threading.Thread(target=self._worker, daemon=True).start()
 
         def _worker(self):
             for i, p in enumerate(self.paths):
-                result = self.extractor.extract_coastline_from_image(
-                    p, None, self.dilation.get()
-                )
+                try:
+                    result = self.extractor.extract_coastline_from_image(
+                        p, None, self.dilation.get()
+                    )
+                except Exception:
+                    result = None
                 self.queue.put(("result", (i, p, result)))
             self.queue.put(("done", None))
 
         def _poll(self):
-            try:
-                while True:
-                    kind, payload = self.queue.get_nowait()
-                    if kind == "status":
-                        self.status.set(payload)
-                    elif kind == "result":
-                        i, p, result = payload
-                        self.progress.configure(value=i + 1)
-                        self.status.set(f"processed {i + 1}/{len(self.paths)}")
-                        if result is not None:
-                            self.results.append(result)
-                            self._show(p, result)
-                    elif kind == "done":
-                        self.status.set(f"done — {len(self.results)} succeeded")
-            except queue.Empty:
-                pass
+            drain_queue(
+                self.queue,
+                self.store,
+                on_status=self.status.set,
+                on_ready=lambda: self.run_btn.configure(state="normal"),
+                on_result=self._on_result,
+                on_done=lambda: self.status.set(
+                    f"done — {len(self.store.saveable())} succeeded"
+                ),
+            )
             self.root.after(100, self._poll)
+
+        def _on_result(self, i, idx, path, result):
+            self.progress.configure(value=i + 1)
+            self.status.set(f"processed {i + 1}/{len(self.paths)}")
+            self.listbox.insert("end", self.store.labels()[idx])
+            if result is not None:
+                self.listbox.selection_clear(0, "end")
+                self.listbox.selection_set(idx)
+                self._show(path, result)
+
+        def _on_select(self, _event=None):
+            sel = self.listbox.curselection()
+            if not sel:
+                return
+            path, result = self.store.get(sel[0])
+            if result is not None:
+                self._show(path, result)
 
         def _show(self, path, result):
             import numpy as np
@@ -209,13 +312,14 @@ def main(argv=None):
             self.canvases["Overlay"].show(Image.fromarray(overlay))
 
         def save_all(self):
-            if not self.results:
+            results = self.store.saveable()
+            if not results:
                 return
             out = filedialog.askdirectory()
             if out:
-                for r in self.results:
+                for r in results:
                     self.extractor.save_extraction_result(r, out)
-                self.status.set(f"saved {len(self.results)} result set(s) to {out}")
+                self.status.set(f"saved {len(results)} result set(s) to {out}")
 
     root = tk.Tk()
     App(root)
