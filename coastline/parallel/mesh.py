@@ -88,11 +88,78 @@ def shard_dataset(mesh: Mesh, images: np.ndarray, masks: np.ndarray):
 
     Dataset arrays shard along N only (gather indices stay global); batches
     gathered from them inherit the sharding, so each chip reads its local
-    HBM shard. Uses `jax.make_array_from_process_local_data` semantics via
-    device_put with a NamedSharding (single-process here).
+    HBM shard. Goes through `jax.make_array_from_process_local_data`, the
+    multi-host fan-out primitive (SURVEY.md §2.8): under a multi-process
+    topology each host passes only ITS samples and the runtime assembles
+    the global sharded array without any host holding the full dataset;
+    single-process (this container, and the virtual CPU mesh the tests
+    run on) it degenerates to a sharded device_put of the whole array.
+
+    Multi-process note: each process must pass a local slab whose samples
+    correspond to its addressable devices' shards — i.e. process p loads
+    samples [p*n/P, (p+1)*n/P) of the GLOBAL order. `global_shape` is
+    inferred as (sum of local leading dims, *rest).
     """
     ds_sharding = NamedSharding(mesh, P(_data_axes(mesh)))
+    nproc = jax.process_count()
     return (
-        jax.device_put(images, ds_sharding),
-        jax.device_put(masks, ds_sharding),
+        jax.make_array_from_process_local_data(
+            ds_sharding, images, (images.shape[0] * nproc, *images.shape[1:])
+        ),
+        jax.make_array_from_process_local_data(
+            ds_sharding, masks, (masks.shape[0] * nproc, *masks.shape[1:])
+        ),
     )
+
+
+def local_batch_gather(mesh: Mesh, idx, *arrays):
+    """Gather a batch from sample-sharded arrays with NO dataset collective.
+
+    A plain `images[idx]` on a 'data'-sharded array makes GSPMD prove the
+    gather shard-local — which it can't for dynamic indices, so it
+    all-gathers the full dataset to every device. This shard_maps the
+    gather instead: each device indexes ONLY its local shard with its
+    local indices, by construction collective-free
+    (tests/test_parallel.py asserts the compiled HLO has no all-gather).
+
+    `idx` is sharded over the data axes like the batch: device d's slice
+    holds LOCAL indices into d's dataset shard (global index g lives on
+    shard g // shard_size with local offset g % shard_size — the caller
+    aligns the shuffle so each batch position lands on its own shard;
+    `localize_aligned_indices` converts such a global shuffle).
+    Returns per-array batches sharded over the data axes.
+    """
+    axes = _data_axes(mesh)
+    spec = P(axes)
+
+    def gather(local_idx, *local_arrays):
+        return tuple(a[local_idx] for a in local_arrays)
+
+    out = jax.shard_map(
+        gather,
+        mesh=mesh,
+        in_specs=(spec,) + (spec,) * len(arrays),
+        out_specs=(spec,) * len(arrays),
+    )(idx, *arrays)
+    return out if len(arrays) > 1 else out[0]
+
+
+def localize_aligned_indices(global_idx: np.ndarray, n: int, n_shards: int):
+    """Global->local index conversion for an aligned batch.
+
+    A batch of global indices is 'aligned' when position j's index lives
+    on the shard that produces position j of the batch (j*n_shards//len ==
+    idx*n_shards//n). Raises if not — misaligned batches need a real
+    collective and should use the plain gather path.
+    """
+    global_idx = np.asarray(global_idx)
+    b = global_idx.shape[-1]
+    shard = n // n_shards
+    owner = global_idx // shard
+    expect = np.arange(b) * n_shards // b
+    if not np.all(owner == expect):
+        raise ValueError(
+            "batch indices are not shard-aligned; use a replicated dataset "
+            "or the plain gather (which all-gathers)"
+        )
+    return global_idx % shard
