@@ -182,9 +182,38 @@ class ResidualBlock(nn.Module):
         out = Conv(self.features, 3, padding=1, use_bias=False, init=self.conv_init,
                    dtype=self.dtype)(out)
         out = Norm(self.dtype)(out, train)
-        out = ChannelAttention(conv_init=self.conv_init, dtype=self.dtype)(out, train)
-        out = SpatialAttention(conv_init=self.conv_init, dtype=self.dtype)(out)
+        if self._use_fused_tail(train, out.shape):
+            # Pallas fused CBAM tail (coastline/pallas/cbam.py): 5 HBM
+            # passes instead of XLA's 13 over this block's activation.
+            # Init and training always take the module path below (which
+            # owns the params); here the bound children's kernels are read
+            # straight from the variable tree.
+            from coastline.pallas.cbam import fused_cbam_tail
+
+            p = self.variables["params"]
+            return fused_cbam_tail(
+                out, shortcut,
+                p["ChannelAttention_0"]["Dense_0"]["kernel"],
+                p["ChannelAttention_0"]["Dense_1"]["kernel"],
+                p["SpatialAttention_0"]["Conv_0"]["Conv_0"]["kernel"],
+            )
+        out = ChannelAttention(conv_init=self.conv_init, dtype=self.dtype,
+                               name="ChannelAttention_0")(out, train)
+        out = SpatialAttention(conv_init=self.conv_init, dtype=self.dtype,
+                               name="SpatialAttention_0")(out)
         return nn.relu(out + shortcut)
+
+    def _use_fused_tail(self, train: bool, shape) -> bool:
+        from coastline.pallas import cbam_tail_enabled
+        from coastline.pallas.cbam import fits
+
+        return (
+            not train
+            and not self.is_initializing()
+            and cbam_tail_enabled()
+            and jax.default_backend() == "tpu"
+            and fits(shape)
+        )
 
 
 class DilatedBlock(nn.Module):

@@ -1,0 +1,191 @@
+"""Fused CBAM epilogue kernels — the ResidualBlock eval tail.
+
+`ResidualBlock` (parity: `/root/reference/Main_Final.py:151-196`) ends
+every block with
+
+    out = ChannelAttention(y); out = SpatialAttention(out)
+    out = relu(out + shortcut)
+
+XLA compiles that tail into FOUR separate full-tensor reduction passes
+(channel-attention sum and max, spatial-attention sum and max — sibling
+reduction fusion does not trigger inside the full graph), plus layout
+copies around the 7x7/2-channel spatial conv: 13.2 passes over the
+(B,H,W,C) activation against a 5-pass minimum, 26% of the bandwidth ideal
+at RobustUNet's hot (8,512,512,64) shape (scripts/bench_epilogue.py,
+artifacts/bench_epilogue.json).
+
+Two kernels restore the minimum traffic; everything cheap stays in XLA:
+
+  * `avg_max_pool`: ONE streaming pass producing the global average AND
+    maximum per channel. Accumulates into a full (W, C) f32 scratch with
+    pure elementwise adds/maxes (lane-parallel, no per-tile cross-lane
+    work); the cross-sublane collapse to (C,) happens once per image.
+  * `gated_spatial_stats`: ONE pass computing z = y * gate in-register
+    and emitting the spatial-attention input [mean_c(z), max_c(z)] as a
+    (B, 2, H, W) map — channel-minor layout keeps the (th, W) results in
+    native lane orientation, and the tensor is C/2 times smaller than y.
+
+The 7x7 conv runs in XLA on the tiny stats map (NCHW dim labels — the
+feature dim is 2); the final `relu(y*gate*att + shortcut)` is one XLA
+elementwise fusion (2 reads + 1 write). Total: 5 big-tensor passes.
+
+`fused_cbam_tail` orchestrates kernels + XLA glue with the exact
+ChannelAttention/SpatialAttention arithmetic (bf16 compute, f32 gate
+sigmoid, shared-MLP sum before sigmoid); `coastline.ops.blocks`
+dispatches to it at eval on TPU. Parity: tests/test_pallas.py (interpret
+mode) plus the on-chip checks in scripts/bench_epilogue.py — including
+lane-aligned widths, per the dilation kernel's hard lesson.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile_h(h: int, w: int, c: int, itemsize: int, budget: int = 2 << 20) -> int:
+    """Largest divisor of h whose (th, w, c) block stays under `budget`."""
+    th = max(1, budget // max(1, w * c * itemsize))
+    th = min(th, h)
+    while h % th:
+        th -= 1
+    return th
+
+
+# --------------------------------------------------------------------------
+# Kernel 1: fused global average + max pooling, one HBM pass
+# --------------------------------------------------------------------------
+
+
+def _avg_max_kernel(x_ref, avg_ref, max_ref, sum_s, max_s, *, hw: float):
+    h_idx = pl.program_id(1)
+
+    @pl.when(h_idx == 0)
+    def _():
+        sum_s[:] = jnp.zeros_like(sum_s)
+        max_s[:] = jnp.full_like(max_s, -jnp.inf)
+
+    x = x_ref[0].astype(jnp.float32)  # (th, W, C)
+    # elementwise accumulate into the full (W, C) plane: lane-parallel,
+    # no cross-lane or cross-sublane reduction per tile
+    sum_s[:] = sum_s[:] + jnp.sum(x, axis=0)
+    max_s[:] = jnp.maximum(max_s[:], jnp.max(x, axis=0))
+
+    @pl.when(h_idx == pl.num_programs(1) - 1)
+    def _():
+        avg_ref[0, 0] = (jnp.sum(sum_s[:], axis=0) * (1.0 / hw)).astype(avg_ref.dtype)
+        max_ref[0, 0] = jnp.max(max_s[:], axis=0).astype(max_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def avg_max_pool(x, interpret: bool = False):
+    """(B, H, W, C) -> (avg (B, C), max (B, C)) in x.dtype, one HBM pass."""
+    b, h, w, c = x.shape
+    th = _pick_tile_h(h, w, c, x.dtype.itemsize)
+    avg, mx = pl.pallas_call(
+        functools.partial(_avg_max_kernel, hw=float(h * w)),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((w, c), jnp.float32),
+            pltpu.VMEM((w, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x)
+    return avg[:, 0], mx[:, 0]
+
+
+# --------------------------------------------------------------------------
+# Kernel 2: z = y * gate fused with the spatial-attention channel stats
+# --------------------------------------------------------------------------
+
+
+def _gated_stats_kernel(x_ref, gate_ref, out_ref, *, c: int):
+    z = x_ref[0] * gate_ref[0, 0]  # (th, W, C) * (C,) in compute dtype
+    zf = z.astype(jnp.float32)
+    out_ref[0, 0] = (jnp.sum(zf, axis=-1) * (1.0 / c)).astype(out_ref.dtype)
+    out_ref[0, 1] = jnp.max(z, axis=-1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gated_spatial_stats(x, gate, interpret: bool = False):
+    """(B,H,W,C), (B,C) -> (B, 2, H, W): [mean_c(x*gate), max_c(x*gate)].
+
+    One read of x; x*gate is never materialized. Channel-minor output so
+    each (th, W) result plane stays in native sublane x lane orientation.
+    """
+    b, h, w, c = x.shape
+    th = _pick_tile_h(h, w, c, x.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_gated_stats_kernel, c=c),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, th, w), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, h, w), x.dtype),
+        interpret=interpret,
+    )(x, gate[:, None, :])
+
+
+# --------------------------------------------------------------------------
+# Orchestrator: the full eval-mode CBAM + residual tail
+# --------------------------------------------------------------------------
+
+
+def fits(shape) -> bool:
+    """Whether the kernels handle this activation shape (tile divisibility
+    and Mosaic's (8, 128)-block rules; model shapes are powers of two so
+    this is the general-input guard)."""
+    b, h, w, c = shape
+    th = _pick_tile_h(h, w, c, 2)
+    return (
+        h % th == 0
+        and (th % 8 == 0 or th == h)
+        and w >= 8
+        and c >= 8
+    )
+
+
+def fused_cbam_tail(y, shortcut, fc1, fc2, sconv, *, interpret: bool = False):
+    """relu(SpatialAttention(ChannelAttention(y)) + shortcut) in 5 passes.
+
+    Arithmetic matches `ops.blocks` exactly: the channel gate is
+    sigmoid(f32) of the shared-MLP sum over the avg- and max-pooled
+    vectors, cast back to compute dtype; the spatial gate sigmoid stays in
+    compute dtype (blocks.py:131-133).
+
+    fc1: (C, C//ratio), fc2: (C//ratio, C) — ChannelAttention's Dense
+    kernels; sconv: (7, 7, 2, 1) — SpatialAttention's conv kernel.
+    """
+    dt = y.dtype
+    avg, mx = avg_max_pool(y, interpret=interpret)
+    mlp = lambda v: jnp.dot(jax.nn.relu(jnp.dot(v, fc1.astype(dt))), fc2.astype(dt))
+    gate = jax.nn.sigmoid((mlp(avg) + mlp(mx)).astype(jnp.float32)).astype(dt)
+
+    att_in = gated_spatial_stats(y, gate, interpret=interpret)  # (B,2,H,W)
+    att = jax.lax.conv_general_dilated(
+        att_in, sconv.astype(dt), window_strides=(1, 1),
+        padding=((3, 3), (3, 3)), dimension_numbers=("NCHW", "HWIO", "NHWC"),
+    )  # (B, H, W, 1)
+    att = jax.nn.sigmoid(att)
+    return jax.nn.relu(y * gate[:, None, None, :] * att + shortcut)

@@ -137,3 +137,80 @@ def test_pallas_dilate_too_wide_raises_and_gate():
     assert not pm.fits_vmem(shape, ker)
     with pytest.raises(ValueError):
         pm.dilate_disk(np.zeros(shape, np.uint8), ker, interpret=True)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 128, 64), (1, 32, 256, 32),
+                                   (2, 24, 128, 128)])
+def test_cbam_avg_max_pool(shape):
+    from coastline.pallas.cbam import avg_max_pool
+
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    avg, mx = avg_max_pool(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(jnp.mean(x, axis=(1, 2))),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(jnp.max(x, axis=(1, 2))))
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 128, 64), (2, 24, 128, 128)])
+def test_cbam_gated_spatial_stats(shape):
+    from coastline.pallas.cbam import gated_spatial_stats
+
+    b, h, w, c = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    gate = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(1), (b, c)))
+    out = gated_spatial_stats(x, gate, interpret=True)
+    z = x * gate[:, None, None, :]
+    assert out.shape == (b, 2, h, w)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(jnp.mean(z, -1)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), np.asarray(jnp.max(z, -1)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_cbam_tail_matches_block_composition():
+    """The fused eval tail must reproduce ChannelAttention ->
+    SpatialAttention -> relu(+shortcut) (`ops/blocks.py:185-187`)."""
+    from flax import linen as nn
+
+    from coastline.ops.blocks import ChannelAttention, SpatialAttention
+    from coastline.pallas.cbam import fused_cbam_tail
+
+    class Tail(nn.Module):
+        @nn.compact
+        def __call__(self, y, s):
+            out = ChannelAttention(conv_init="kaiming_out")(y, False)
+            out = SpatialAttention(conv_init="kaiming_out")(out)
+            return nn.relu(out + s)
+
+    rng = jax.random.PRNGKey(0)
+    y = jax.random.normal(rng, (2, 16, 128, 64), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(1), y.shape, jnp.float32)
+    mod = Tail()
+    p = mod.init(rng, y, s)
+    ref = mod.apply(p, y, s)
+    prm = p["params"]
+    got = fused_cbam_tail(
+        y, s,
+        prm["ChannelAttention_0"]["Dense_0"]["kernel"],
+        prm["ChannelAttention_0"]["Dense_1"]["kernel"],
+        prm["SpatialAttention_0"]["Conv_0"]["Conv_0"]["kernel"],
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_residual_block_fused_tail_flag_inert_on_cpu(monkeypatch):
+    """COASTLINE_PALLAS_CBAM must not change CPU behavior (tpu-only
+    guard), and the explicit child names keep the param tree identical."""
+    from coastline.ops.blocks import ResidualBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 32))
+    mod = ResidualBlock(32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    assert "ChannelAttention_0" in v["params"]
+    assert "SpatialAttention_0" in v["params"]
+    base = mod.apply(v, x)
+    monkeypatch.setenv("COASTLINE_PALLAS_CBAM", "1")
+    out = mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
