@@ -166,7 +166,32 @@ def fits(shape) -> bool:
     )
 
 
-def fused_cbam_tail(y, shortcut, fc1, fc2, sconv, *, interpret: bool = False):
+def variadic_avg_max(x, axes):
+    """Mean and max over `axes` in ONE pass via XLA's variadic reduce.
+
+    `jnp.mean` + `jnp.max` issue two separate full-tensor reduction passes
+    (XLA's sibling-reduction fusion does not trigger inside large graphs —
+    see artifacts/bench_epilogue.json); a single multi-operand lax.reduce
+    is one HLO op and one pass by construction. Sum accumulates f32, mean
+    is cast back to x.dtype (matching jnp.mean-then-convert semantics).
+    """
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    # both operands f32: TPU XLA rejects mixed-precision variadic reduces,
+    # the converts fuse into the single read, and f32 max is exact
+    init = (jnp.zeros((), jnp.float32), jnp.full((), -jnp.inf, jnp.float32))
+
+    def comp(acc, val):
+        return acc[0] + val[0], jnp.maximum(acc[1], val[1])
+
+    xf = x.astype(jnp.float32)
+    s, m = jax.lax.reduce((xf, xf), init, comp, axes)
+    return (s * (1.0 / n)).astype(x.dtype), m.astype(x.dtype)
+
+
+def fused_cbam_tail(y, shortcut, fc1, fc2, sconv, *, impl: str = "xla",
+                    interpret: bool = False):
     """relu(SpatialAttention(ChannelAttention(y)) + shortcut) in 5 passes.
 
     Arithmetic matches `ops.blocks` exactly: the channel gate is
@@ -174,15 +199,28 @@ def fused_cbam_tail(y, shortcut, fc1, fc2, sconv, *, interpret: bool = False):
     vectors, cast back to compute dtype; the spatial gate sigmoid stays in
     compute dtype (blocks.py:131-133).
 
+    impl='xla' uses variadic single-pass reduces and relies on XLA fusing
+    the gate multiply into the spatial-stats reduce (it does: the HLO's
+    multiply_reduce fusions read y directly); impl='pallas' uses the
+    hand-written streaming kernels. Both share the minimum-traffic
+    dataflow; the bench (scripts/bench_epilogue.py) decides which ships.
+
     fc1: (C, C//ratio), fc2: (C//ratio, C) — ChannelAttention's Dense
     kernels; sconv: (7, 7, 2, 1) — SpatialAttention's conv kernel.
     """
     dt = y.dtype
-    avg, mx = avg_max_pool(y, interpret=interpret)
+    if impl == "pallas":
+        avg, mx = avg_max_pool(y, interpret=interpret)
+    else:
+        avg, mx = variadic_avg_max(y, (1, 2))
     mlp = lambda v: jnp.dot(jax.nn.relu(jnp.dot(v, fc1.astype(dt))), fc2.astype(dt))
     gate = jax.nn.sigmoid((mlp(avg) + mlp(mx)).astype(jnp.float32)).astype(dt)
 
-    att_in = gated_spatial_stats(y, gate, interpret=interpret)  # (B,2,H,W)
+    if impl == "pallas":
+        att_in = gated_spatial_stats(y, gate, interpret=interpret)  # (B,2,H,W)
+    else:
+        zmean, zmax = variadic_avg_max(y * gate[:, None, None, :], (3,))
+        att_in = jnp.stack([zmean, zmax], axis=1)  # (B,2,H,W)
     att = jax.lax.conv_general_dilated(
         att_in, sconv.astype(dt), window_strides=(1, 1),
         padding=((3, 3), (3, 3)), dimension_numbers=("NCHW", "HWIO", "NHWC"),

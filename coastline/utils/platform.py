@@ -16,3 +16,19 @@ def apply_platform_override():
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def enable_compile_cache(path: str = None):
+    """Persistent XLA compile cache (same store the test conftest uses).
+
+    Benchmarks/CLIs compile multi-minute programs; caching makes re-runs
+    resume instantly after an interrupted session or a wedged transport.
+    """
+    import jax
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
