@@ -174,6 +174,13 @@ def variadic_avg_max(x, axes):
     see artifacts/bench_epilogue.json); a single multi-operand lax.reduce
     is one HLO op and one pass by construction. Sum accumulates f32, mean
     is cast back to x.dtype (matching jnp.mean-then-convert semantics).
+
+    WARNING (this container): do NOT compile this on the axon tunnel —
+    the remote AOT service rejects mixed-precision variadic reduces and
+    HANGS on same-precision ones (observed 2026-08-17, two ~50-min tunnel
+    wedges). CPU-correct and tested; kept as the reference formulation
+    for hardware with a healthy compiler. The Pallas impl is the TPU
+    path.
     """
     n = 1
     for a in axes:
@@ -190,7 +197,7 @@ def variadic_avg_max(x, axes):
     return (s * (1.0 / n)).astype(x.dtype), m.astype(x.dtype)
 
 
-def fused_cbam_tail(y, shortcut, fc1, fc2, sconv, *, impl: str = "xla",
+def fused_cbam_tail(y, shortcut, fc1, fc2, sconv, *, impl: str = "pallas",
                     interpret: bool = False):
     """relu(SpatialAttention(ChannelAttention(y)) + shortcut) in 5 passes.
 
@@ -199,11 +206,11 @@ def fused_cbam_tail(y, shortcut, fc1, fc2, sconv, *, impl: str = "xla",
     vectors, cast back to compute dtype; the spatial gate sigmoid stays in
     compute dtype (blocks.py:131-133).
 
-    impl='xla' uses variadic single-pass reduces and relies on XLA fusing
-    the gate multiply into the spatial-stats reduce (it does: the HLO's
-    multiply_reduce fusions read y directly); impl='pallas' uses the
-    hand-written streaming kernels. Both share the minimum-traffic
-    dataflow; the bench (scripts/bench_epilogue.py) decides which ships.
+    impl='pallas' (default, the TPU path) uses the hand-written streaming
+    kernels; impl='xla' uses variadic single-pass reduces — numerically
+    identical and CPU-tested, but see variadic_avg_max's warning: this
+    container's remote compiler hangs on it, so nothing dispatches to it
+    on TPU. Both share the minimum-traffic dataflow.
 
     fc1: (C, C//ratio), fc2: (C//ratio, C) — ChannelAttention's Dense
     kernels; sconv: (7, 7, 2, 1) — SpatialAttention's conv kernel.

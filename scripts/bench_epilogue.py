@@ -66,42 +66,32 @@ def bench_shape(b, h, w, c, rtt):
     fc2 = p["ChannelAttention_0"]["Dense_1"]["kernel"]
     sk = p["SpatialAttention_0"]["Conv_0"]["Conv_0"]["kernel"]
 
-    def make_fused(impl):
-        @jax.jit
-        def fused(yy, ss):
-            return fused_cbam_tail(yy, ss, fc1, fc2, sk, impl=impl)
+    # the variadic-reduce 'xla' impl is NOT benchmarked here: this
+    # container's remote compiler hangs on variadic reduces (see
+    # coastline/pallas/cbam.py:variadic_avg_max) — pallas is the TPU path
+    @jax.jit
+    def fused(yy, ss):
+        return fused_cbam_tail(yy, ss, fc1, fc2, sk, impl="pallas")
 
-        return fused
-
-    # on-chip parity of both fused paths vs the XLA module composition
+    # on-chip parity of the fused path vs the XLA module composition
     # (bf16 compute -> modest tolerance; reduction orders differ)
     ref = jax.jit(apply)(params, y, short)
-    perr = {}
-    for impl in ("xla", "pallas"):
-        got = make_fused(impl)(y, short)
-        perr[impl] = float(
-            jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
-        )
-        assert perr[impl] < 0.05, f"{impl} tail mismatch on chip: {perr[impl]}"
+    got = fused(y, short)
+    perr = float(
+        jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+    )
+    assert perr < 0.05, f"fused tail mismatch on chip: {perr}"
 
     def step(carry, p, yy, ss):
         o = apply(p, yy * (1.0 + carry * 1e-20).astype(yy.dtype), ss)
         return carry + o.mean().astype(jnp.float32)
 
-    def make_step_fused(impl):
-        fused = make_fused(impl)
-
-        def step_fused(carry, yy, ss):
-            o = fused(yy * (1.0 + carry * 1e-20).astype(yy.dtype), ss)
-            return carry + o.mean().astype(jnp.float32)
-
-        return step_fused
+    def step_fused(carry, yy, ss):
+        o = fused(yy * (1.0 + carry * 1e-20).astype(yy.dtype), ss)
+        return carry + o.mean().astype(jnp.float32)
 
     sec = device_loop_seconds(step, (params, y, short), n_loop=50, rtt=rtt)
-    sec_xla = device_loop_seconds(make_step_fused("xla"), (y, short),
-                                  n_loop=50, rtt=rtt)
-    sec_fused = device_loop_seconds(make_step_fused("pallas"), (y, short),
-                                    n_loop=50, rtt=rtt)
+    sec_fused = device_loop_seconds(step_fused, (y, short), n_loop=50, rtt=rtt)
     ca = jax.jit(apply).lower(params, y, short).compile().cost_analysis()
     big = b * h * w * c * 2  # bf16 bytes of one (B,H,W,C) tensor
     side = b * h * w * 2 * 2 + b * h * w * 1 * 2  # att_in write+read, att map
@@ -111,11 +101,9 @@ def bench_shape(b, h, w, c, rtt):
     return {
         "shape": [b, h, w, c],
         "ms": round(sec * 1e3, 3),
-        "xla_restructured_ms": round(sec_xla * 1e3, 3),
-        "xla_restructured_speedup": round(sec / sec_xla, 2),
         "fused_ms": round(sec_fused * 1e3, 3),
         "fused_speedup": round(sec / sec_fused, 2),
-        "fused_max_abs_err": {k: round(v, 4) for k, v in perr.items()},
+        "fused_max_abs_err": round(perr, 4),
         "xla_gbytes": round(gb, 3),
         "sustained_gbps": round(gb / sec, 1),
         "ideal_5pass_gbytes": round(ideal_bytes / 1e9, 3),
