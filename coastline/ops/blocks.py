@@ -188,6 +188,8 @@ class ResidualBlock(nn.Module):
             # Init and training always take the module path below (which
             # owns the params); here the bound children's kernels are read
             # straight from the variable tree.
+            import os
+
             from coastline.pallas.cbam import fused_cbam_tail
 
             p = self.variables["params"]
@@ -196,6 +198,7 @@ class ResidualBlock(nn.Module):
                 p["ChannelAttention_0"]["Dense_0"]["kernel"],
                 p["ChannelAttention_0"]["Dense_1"]["kernel"],
                 p["SpatialAttention_0"]["Conv_0"]["Conv_0"]["kernel"],
+                interpret=os.environ.get("COASTLINE_PALLAS_INTERPRET") == "1",
             )
         out = ChannelAttention(conv_init=self.conv_init, dtype=self.dtype,
                                name="ChannelAttention_0")(out, train)
@@ -204,14 +207,20 @@ class ResidualBlock(nn.Module):
         return nn.relu(out + shortcut)
 
     def _use_fused_tail(self, train: bool, shape) -> bool:
+        import os
+
         from coastline.pallas import cbam_tail_enabled
         from coastline.pallas.cbam import fits
 
+        # COASTLINE_PALLAS_INTERPRET=1 lifts the TPU gate so the full
+        # dispatch (including the variable-tree access) runs under
+        # interpret mode on any backend — the tests' path.
+        interpret = os.environ.get("COASTLINE_PALLAS_INTERPRET") == "1"
         return (
             not train
             and not self.is_initializing()
             and cbam_tail_enabled()
-            and jax.default_backend() == "tpu"
+            and (interpret or jax.default_backend() == "tpu")
             and fits(shape)
         )
 

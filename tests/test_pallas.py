@@ -214,3 +214,21 @@ def test_residual_block_fused_tail_flag_inert_on_cpu(monkeypatch):
     monkeypatch.setenv("COASTLINE_PALLAS_CBAM", "1")
     out = mod.apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+
+def test_residual_block_fused_tail_dispatch_interpret(monkeypatch):
+    """The WIRED fused path (flag + variable-tree access + kernel call)
+    must run end-to-end and agree with the module path — exercised via
+    interpret mode so the dispatch itself (blocks.py:_use_fused_tail) is
+    covered on any backend."""
+    from coastline.ops.blocks import ResidualBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 128, 32))
+    mod = ResidualBlock(32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    base = mod.apply(v, x)
+    monkeypatch.setenv("COASTLINE_PALLAS_CBAM", "1")
+    monkeypatch.setenv("COASTLINE_PALLAS_INTERPRET", "1")
+    out = mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
