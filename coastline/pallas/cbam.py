@@ -45,12 +45,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile_h(h: int, w: int, c: int, itemsize: int, budget: int = 2 << 20) -> int:
-    """Largest divisor of h whose (th, w, c) block stays under `budget`."""
-    th = max(1, budget // max(1, w * c * itemsize))
-    th = min(th, h)
+def _pad128(c: int) -> int:
+    """Mosaic pads the minormost (lane) dim to multiples of 128."""
+    return -(-c // 128) * 128
+
+
+def _vmem_stack_bytes(th: int, w: int, c: int, itemsize: int,
+                      f32_copies: float, scratch_bytes: int) -> int:
+    """Scoped-VMEM stack model for one grid step: the double-buffered
+    input block plus every in-register f32 materialization, all padded
+    to 128 lanes. Mosaic's scoped limit is 16M; sizing by logical bf16
+    bytes alone OOMs — a (32,512,64) bf16 block cast to f32 allocates
+    8M padded, 16.7M total (observed AOT failure, 2026-08-17 12:40,
+    artifacts/diag_cbam_layout.jsonl)."""
+    cp = _pad128(c)
+    return int(th * w * cp * (2 * itemsize + 4.0 * f32_copies)) + scratch_bytes
+
+
+def _pick_tile_h(h: int, w: int, c: int, itemsize: int,
+                 f32_copies: float = 1.0, scratch_bytes: int = 0,
+                 limit: int = 10 << 20) -> int:
+    """Largest divisor of h whose compiled VMEM stack fits under `limit`
+    (conservative vs the 16M scoped limit)."""
+    th = h
     while h % th:
         th -= 1
+    while th > 1 and (
+        _vmem_stack_bytes(th, w, c, itemsize, f32_copies, scratch_bytes) > limit
+        or th * w * c * itemsize > (2 << 20)  # keep >=4 grid steps in flight
+    ):
+        th -= 1
+        while h % th:
+            th -= 1
     return th
 
 
@@ -105,7 +131,8 @@ def avg_max_pool(x, interpret: bool = False):
         avg = jnp.mean(avg2.reshape(b, k, c), axis=1)
         mx = jnp.max(max2.reshape(b, k, c), axis=1)
         return avg.astype(x.dtype), mx.astype(x.dtype)
-    th = _pick_tile_h(h, w, c, x.dtype.itemsize)
+    th = _pick_tile_h(h, w, c, x.dtype.itemsize, f32_copies=1.0,
+                      scratch_bytes=2 * w * _pad128(c) * 4)
     avg, mx = pl.pallas_call(
         functools.partial(_avg_max_kernel, hw=float(h * w)),
         grid=(b, h // th),
@@ -137,21 +164,29 @@ def avg_max_pool(x, interpret: bool = False):
 # --------------------------------------------------------------------------
 
 
-def _gated_stats_kernel(x_ref, gate_ref, out_ref, *, c: int, k: int):
-    z = x_ref[0] * gate_ref[0, 0]  # (th, W/k, C*k) * (C*k,) in compute dtype
+def _gated_stats_kernel(x_ref, gate_ref, out_ref, *, c: int):
+    z = x_ref[0] * gate_ref[0, 0]  # (th, W, C) * (C,) in compute dtype
     zf = z.astype(jnp.float32)
-    if k == 1:
-        mean = jnp.sum(zf, axis=-1) * (1.0 / c)
-        mx = jnp.max(z, axis=-1)
-    else:
-        th_, wk, _ = zf.shape
-        # lane-packed: each vreg row holds k pixels x c channels; stats
-        # are per pixel group, results unpacked back to per-pixel columns
-        mean = (jnp.sum(zf.reshape(th_, wk, k, c), axis=-1)
-                * (1.0 / c)).reshape(th_, wk * k)
-        mx = jnp.max(z.reshape(th_, wk, k, c), axis=-1).reshape(th_, wk * k)
-    out_ref[0, 0] = mean.astype(out_ref.dtype)
-    out_ref[0, 1] = mx.astype(out_ref.dtype)
+    out_ref[0, 0] = (jnp.sum(zf, axis=-1) * (1.0 / c)).astype(out_ref.dtype)
+    out_ref[0, 1] = jnp.max(z, axis=-1).astype(out_ref.dtype)
+
+
+def _gated_stats_kernel_packed(x_ref, gate_ref, out_ref, *, c: int, k: int):
+    """Lane-packed variant: each vreg row holds k pixels x c channels.
+
+    Group stats come from STATIC LANE SLICES + full-minor reduces — Mosaic
+    rejects lane-splitting reshapes ((..., k*c) -> (..., k, c) fails with
+    'unsupported shape cast'), but aligned slices compile (chip-probed,
+    scripts/diag_cbam_layout.py stage=probe). Results land in group-major
+    planes out[0, stat, g]; the caller interleaves pixel order back with
+    one tiny XLA transpose on the C/2-times-smaller stats tensor.
+    """
+    z = x_ref[0] * gate_ref[0, 0]  # (th, W/k, C*k)
+    zf = z.astype(jnp.float32)
+    for g in range(k):
+        sl = slice(g * c, (g + 1) * c)
+        out_ref[0, 0, g] = (jnp.sum(zf[:, :, sl], -1) * (1.0 / c)).astype(out_ref.dtype)
+        out_ref[0, 1, g] = jnp.max(z[:, :, sl], -1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -165,23 +200,40 @@ def gated_spatial_stats(x, gate, interpret: bool = False):
     """
     b, h, w, c = x.shape
     k = _lane_pack(c, w)
-    xk = x.reshape(b, h, w // k, c * k) if k > 1 else x
-    gk = jnp.tile(gate, (1, k)) if k > 1 else gate
-    th = _pick_tile_h(h, w, c, x.dtype.itemsize)
+    # stack: z (bf16) + zf (f32) + per-group f32 slice temps
+    th = _pick_tile_h(h, w // k, c * k, x.dtype.itemsize, f32_copies=3.0)
+    if k > 1:
+        out = pl.pallas_call(
+            functools.partial(_gated_stats_kernel_packed, c=c, k=k),
+            grid=(b, h // th),
+            in_specs=[
+                pl.BlockSpec((1, th, w // k, c * k), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, c * k), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 2, k, th, w // k),
+                                   lambda i, j: (i, 0, 0, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 2, k, h, w // k), x.dtype),
+            interpret=interpret,
+        )(x.reshape(b, h, w // k, c * k), jnp.tile(gate, (1, k))[:, None, :])
+        # group-major -> pixel order: w = wk * k + g
+        return out.transpose(0, 1, 3, 4, 2).reshape(b, 2, h, w)
     return pl.pallas_call(
-        functools.partial(_gated_stats_kernel, c=c, k=k),
+        functools.partial(_gated_stats_kernel, c=c),
         grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec((1, th, w // k, c * k), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c * k), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, th, w), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, h, w), x.dtype),
         interpret=interpret,
-    )(xk, gk[:, None, :])
+    )(x, gate[:, None, :])
 
 
 # --------------------------------------------------------------------------
@@ -190,16 +242,21 @@ def gated_spatial_stats(x, gate, interpret: bool = False):
 
 
 def fits(shape) -> bool:
-    """Whether the kernels handle this activation shape (tile divisibility
-    and Mosaic's (8, 128)-block rules; model shapes are powers of two so
-    this is the general-input guard)."""
+    """Whether the kernels handle this activation shape (tile divisibility,
+    Mosaic's (8, 128)-block rules, and the scoped-VMEM stack model; model
+    shapes are powers of two so this is the general-input guard)."""
     b, h, w, c = shape
-    th = _pick_tile_h(h, w, c, 2)
+    k = _lane_pack(c, w)
+    wk, ck = w // k, c * k
+    th = _pick_tile_h(h, wk, ck, 2, f32_copies=3.0)
     return (
         h % th == 0
         and (th % 8 == 0 or th == h)
-        and w >= 8
-        and c >= 8
+        and wk >= 8
+        and ck >= 8
+        and _vmem_stack_bytes(th, wk, ck, 2, 3.0, 0) <= 10 << 20
+        and _vmem_stack_bytes(th, wk, ck, 2, 1.0,
+                              2 * wk * _pad128(ck) * 4) <= 10 << 20
     )
 
 
