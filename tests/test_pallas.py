@@ -232,3 +232,39 @@ def test_residual_block_fused_tail_dispatch_interpret(monkeypatch):
     out = mod.apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cbam_vmem_stack_model_bounds_tiles():
+    """Tile picking must keep the Mosaic scoped-VMEM stack under limit at
+    every model shape — the model counts 128-lane padding and in-register
+    f32 copies (a (32,512,64) bf16 block cast to f32 is 8M padded and
+    OOMed the real AOT compiler at the 16M scoped limit, 2026-08-17)."""
+    from coastline.pallas.cbam import (_lane_pack, _pad128, _pick_tile_h,
+                                       _vmem_stack_bytes, fits)
+
+    model_shapes = [(8, 512, 512, 64), (8, 256, 256, 128), (8, 128, 128, 256),
+                    (8, 64, 64, 512), (8, 32, 32, 1024), (32, 512, 512, 64),
+                    (2, 96, 96, 64), (1, 512, 512, 64)]
+    for b, h, w, c in model_shapes:
+        assert fits((b, h, w, c)), (b, h, w, c)
+        k = _lane_pack(c, w)
+        wk, ck = w // k, c * k
+        for f32c, scratch in [(3.0, 0), (1.0, 2 * wk * _pad128(ck) * 4)]:
+            th = _pick_tile_h(h, wk, ck, 2, f32_copies=f32c,
+                              scratch_bytes=scratch)
+            assert h % th == 0
+            assert _vmem_stack_bytes(th, wk, ck, 2, f32c, scratch) <= 10 << 20
+    # the raw-RGB shape stays off the kernel path entirely
+    assert not fits((8, 512, 512, 3))
+
+
+def test_cbam_lane_pack_factors():
+    from coastline.pallas.cbam import _lane_pack
+
+    assert _lane_pack(64, 512) == 2
+    assert _lane_pack(32, 512) == 4
+    assert _lane_pack(128, 512) == 1   # already full lanes
+    assert _lane_pack(256, 512) == 1
+    assert _lane_pack(96, 512) == 1    # 128 % 96 != 0 -> no packing
+    assert _lane_pack(64, 6) == 2      # k clipped to divide W
+    assert _lane_pack(64, 5) == 1
