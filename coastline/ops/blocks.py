@@ -210,17 +210,17 @@ class ResidualBlock(nn.Module):
         import os
 
         from coastline.pallas import cbam_tail_enabled
-        from coastline.pallas.cbam import fits
+        from coastline.pallas.cbam import fits, wins
 
-        # COASTLINE_PALLAS_INTERPRET=1 lifts the TPU gate so the full
-        # dispatch (including the variable-tree access) runs under
-        # interpret mode on any backend — the tests' path.
+        # COASTLINE_PALLAS_INTERPRET=1 lifts the TPU and measured-win
+        # gates so the full dispatch (including the variable-tree access)
+        # runs under interpret mode on any backend — the tests' path.
         interpret = os.environ.get("COASTLINE_PALLAS_INTERPRET") == "1"
         return (
             not train
             and not self.is_initializing()
             and cbam_tail_enabled()
-            and (interpret or jax.default_backend() == "tpu")
+            and (interpret or (jax.default_backend() == "tpu" and wins(shape)))
             and fits(shape)
         )
 

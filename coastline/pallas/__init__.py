@@ -12,7 +12,14 @@ def pallas_enabled() -> bool:
 
 
 def cbam_tail_enabled() -> bool:
-    """Fused CBAM residual tail (pallas/cbam.py). Separate flag from the
-    experimental opt-ins: flips default-on once the on-chip end-to-end win
-    is recorded (the dilation kernel's promotion path)."""
+    """Fused CBAM residual tail (pallas/cbam.py). Default OFF — a fully
+    measured negative result (VERDICT r2 item 4): in ISOLATION the fused
+    tail wins at C>=256 (1.36x at (8,128,128,256)), but END-TO-END the
+    full RobustUNet runs 0.933x with the fused path even when gated to
+    those winning shapes (artifacts/bench_cbam.json): in-model, XLA fuses
+    the tail's reductions into neighboring conv epilogues and keeps small
+    deep-level activations VMEM-resident, and the pallas calls' forced
+    materialization boundaries cost more than the 13->5 HBM-pass saving.
+    COASTLINE_PALLAS_CBAM=1 enables the dispatch (still shape-gated by
+    cbam.wins) for re-benching on other hardware."""
     return os.environ.get("COASTLINE_PALLAS_CBAM", "0") not in ("0", "", "false")

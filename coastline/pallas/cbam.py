@@ -32,9 +32,29 @@ elementwise fusion (2 reads + 1 write). Total: 5 big-tensor passes.
 `fused_cbam_tail` orchestrates kernels + XLA glue with the exact
 ChannelAttention/SpatialAttention arithmetic (bf16 compute, f32 gate
 sigmoid, shared-MLP sum before sigmoid); `coastline.ops.blocks`
-dispatches to it at eval on TPU. Parity: tests/test_pallas.py (interpret
-mode) plus the on-chip checks in scripts/bench_epilogue.py — including
-lane-aligned widths, per the dilation kernel's hard lesson.
+dispatches to it at eval on TPU behind COASTLINE_PALLAS_CBAM + the
+`wins` shape gate. Parity: tests/test_pallas.py (interpret mode) plus
+the on-chip checks in scripts/bench_epilogue.py — including lane-aligned
+widths, per the dilation kernel's hard lesson.
+
+OUTCOME (2026-08-17, one v5e chip): a measured NEGATIVE result, flag
+default off. Isolated-tail benches win at C>=256 (1.36x at
+(8,128,128,256), 1.30x at C=512, artifacts/bench_epilogue.json) and lose
+at the C=64 hot shape (0.85x): Mosaic pads pallas blocks to 128 lanes,
+halving C=64 DMA bandwidth (copy kernel 328 vs 656 GB/s packed,
+artifacts/diag_cbam_layout.jsonl), while the lane-packed kernels stream
+at 748 GB/s — XLA parity — but the pack relayout eats the gain. End to
+end the full model is 0.933x even with dispatch gated to the winning
+shapes (artifacts/bench_cbam.json): in the whole graph XLA fuses the
+tail reductions into neighboring conv epilogues and keeps the deep
+levels' small activations VMEM-resident (its cost-analysis "sustained"
+1.7-2.1 TB/s at C>=512 — ops that never touch HBM), advantages any
+opaque pallas call boundary destroys. The isolated wins are artifacts of
+benching against HBM-materialized inputs. Conclusion: on TPU, XLA's
+in-context fusion of this tail beats any materialization-boundary
+kernel; the win Pallas CAN bank here is the dilation kernel's class
+(data-dependent neighborhoods XLA can't fuse), not elementwise+reduce
+epilogues.
 """
 
 import functools
@@ -239,6 +259,20 @@ def gated_spatial_stats(x, gate, interpret: bool = False):
 # --------------------------------------------------------------------------
 # Orchestrator: the full eval-mode CBAM + residual tail
 # --------------------------------------------------------------------------
+
+
+def wins(shape) -> bool:
+    """Whether the fused tail MEASURED faster than the XLA module path at
+    this activation shape on the real chip (artifacts/bench_epilogue.json,
+    2026-08-17): 1.36x at (8,128,128,256); a wash (1.03x) at C=128; a
+    LOSS (0.85x) at the C=64 hot shape. The C=64 loss is layout physics,
+    not kernel structure: Mosaic pads pallas blocks to 128 lanes, halving
+    DMA bandwidth (copy kernel: 328 GB/s native-C64 vs 656 GB/s packed,
+    artifacts/diag_cbam_layout.jsonl), and the pack/unpack relayout
+    round-trips eat the 13.2->5 pass fusion gain, while XLA's own
+    reductions stream at 753 GB/s in either layout. Production dispatch
+    therefore takes the fused path only where it wins: C >= 256."""
+    return shape[-1] >= 256
 
 
 def fits(shape) -> bool:

@@ -114,7 +114,8 @@ def bench_shape(b, h, w, c, rtt):
     }
 
 
-SHAPES = ((8, 512, 512, 64), (8, 256, 256, 128), (8, 128, 128, 256))
+SHAPES = ((8, 512, 512, 64), (8, 256, 256, 128), (8, 128, 128, 256),
+          (8, 64, 64, 512), (8, 32, 32, 1024))
 ART = "artifacts/bench_epilogue.json"
 
 
