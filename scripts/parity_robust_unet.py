@@ -187,13 +187,20 @@ def aggregate(out_path, run_cfg):
             "train_seconds": cached["result"]["train_seconds"],
         })
     # same-init runs are a separate comparison axis, not part of the
-    # independent-seed mean (they reuse a torch seed's init draw)
+    # independent-seed mean (they reuse a torch seed's init draw); bf16
+    # runs are likewise their own axis so a seed never appears twice in
+    # the primary f32 multi-seed statistic
     cl_indep = [r for r in sides["coastline"]
-                if r["variant"].get("init_from_torch") is None]
+                if r["variant"].get("init_from_torch") is None
+                and r["variant"].get("dtype", "float32") == "float32"]
+    cl_bf16 = [r for r in sides["coastline"]
+               if r["variant"].get("init_from_torch") is None
+               and r["variant"].get("dtype") == "bfloat16"]
     cl_sameinit = [r for r in sides["coastline"]
                    if r["variant"].get("init_from_torch") is not None]
     out = {"config": run_cfg, "torch_runs": sides["torch"],
-           "coastline_runs": cl_indep, "coastline_sameinit_runs": cl_sameinit}
+           "coastline_runs": cl_indep, "coastline_bfloat16_runs": cl_bf16,
+           "coastline_sameinit_runs": cl_sameinit}
 
     def stats(runs):
         ious = [r["final_iou"] for r in runs]
@@ -206,9 +213,15 @@ def aggregate(out_path, run_cfg):
 
     out["torch"] = stats(sides["torch"])
     out["coastline"] = stats(cl_indep)
+    out["coastline_bfloat16"] = stats(cl_bf16)
     if out["torch"]["n"] and out["coastline"]["n"]:
         out["iou_delta"] = abs(
             out["torch"]["final_iou_mean"] - out["coastline"]["final_iou_mean"]
+        )
+    if out["torch"]["n"] and out["coastline_bfloat16"]["n"]:
+        out["bfloat16_iou_delta"] = abs(
+            out["torch"]["final_iou_mean"]
+            - out["coastline_bfloat16"]["final_iou_mean"]
         )
     if cl_sameinit:
         by_seed = {r["seed"]: r for r in sides["torch"]}
@@ -222,7 +235,8 @@ def aggregate(out_path, run_cfg):
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: v for k, v in out.items()
-                      if k in ("torch", "coastline", "iou_delta",
+                      if k in ("torch", "coastline", "coastline_bfloat16",
+                               "iou_delta", "bfloat16_iou_delta",
                                "sameinit_iou_delta")}, indent=2))
     return out
 

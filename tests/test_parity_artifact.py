@@ -71,6 +71,19 @@ def test_final_iou_agreement_with_torch(parity):
     assert parity["iou_delta"] < IOU_GATE, parity["iou_delta"]
 
 
+def test_bfloat16_agreement(parity):
+    """The TPU-production dtype (bf16 compute, f32 params/BN) is its own
+    comparison axis — a seed must not appear twice in the primary f32
+    multi-seed mean — and must land inside the same gate."""
+    bf = parity.get("coastline_bfloat16") or {}
+    if not bf.get("n"):
+        pytest.skip("bfloat16 run not generated")
+    assert bf["final_iou_mean"] > 0.99, bf
+    if "bfloat16_iou_delta" not in parity:
+        pytest.skip("torch side still training")
+    assert parity["bfloat16_iou_delta"] < IOU_GATE, parity["bfloat16_iou_delta"]
+
+
 def test_sameinit_agreement(parity):
     """Starting coastline from the torch seed's bit-identical initial
     weights isolates optimizer/BN/data-order effects from init-draw
