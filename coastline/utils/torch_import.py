@@ -228,6 +228,279 @@ def import_reference_segnet(state_dict: Mapping) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _convbnact(conv_prefix: str, bn_prefix: str, sd: Mapping, bias: bool = True):
+    """torch (Conv2d, BatchNorm2d) pair -> coastline `ConvBNAct` params/stats."""
+    b = sd.get(f"{conv_prefix}.bias") if bias else None
+    bn_p, bn_s = _bn(bn_prefix, sd)
+    p = {
+        "Conv_0": {"Conv_0": _conv(sd[f"{conv_prefix}.weight"], b)},
+        "Norm_0": {"BatchNorm_0": bn_p},
+    }
+    return p, {"Norm_0": {"BatchNorm_0": bn_s}}
+
+
+def _aspp(prefix: str, sd: Mapping):
+    """Reference ASPP (`Main_Final.py:325-356`): conv1..conv5 + conv_out + bn
+    -> coastline `ops.blocks.ASPP` Conv_0..5 / Norm_0 in call order."""
+    p: Dict = {}
+    for i, name in enumerate(["conv1", "conv2", "conv3", "conv4", "conv5", "conv_out"]):
+        p[f"Conv_{i}"] = {
+            "Conv_0": _conv(sd[f"{prefix}.{name}.weight"], sd[f"{prefix}.{name}.bias"])
+        }
+    bn_p, bn_s = _bn(f"{prefix}.bn", sd)
+    p["Norm_0"] = {"BatchNorm_0": bn_p}
+    return p, {"Norm_0": {"BatchNorm_0": bn_s}}
+
+
+def import_reference_deeplabv3plus(state_dict: Mapping) -> Dict:
+    """Reference DeepLabV3Plus (`Main_Final.py:359-433`) -> coastline
+    `models.deeplabv3p.DeepLabV3Plus` variables.
+
+    conv1..conv4 Sequentials -> ConvBNAct_0..3 (conv2's MaxPool shifts its
+    conv/bn to Sequential indices 1/2); aspp -> ASPP_0; decoder ConvT/BN
+    pairs at indices (0,1),(3,4),(6,7),(9,10) -> ConvTranspose_0..3 +
+    top-level Norm_0..3; decoder.12 -> Conv_0 (3x3 head)."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    stages = [("conv1", 0, 1), ("conv2", 1, 2), ("conv3", 0, 1), ("conv4", 0, 1)]
+    for i, (name, ci, bi) in enumerate(stages):
+        p, s = _convbnact(f"{name}.{ci}", f"{name}.{bi}", sd)
+        params[f"ConvBNAct_{i}"] = p
+        stats[f"ConvBNAct_{i}"] = s
+
+    params["ASPP_0"], stats["ASPP_0"] = _aspp("aspp", sd)
+
+    for i, (ti, bi) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10)]):
+        params[f"ConvTranspose_{i}"] = _convT(
+            sd[f"decoder.{ti}.weight"], sd[f"decoder.{ti}.bias"]
+        )
+        bn_p, bn_s = _bn(f"decoder.{bi}", sd)
+        params[f"Norm_{i}"] = {"BatchNorm_0": bn_p}
+        stats[f"Norm_{i}"] = {"BatchNorm_0": bn_s}
+
+    params["Conv_0"] = {"Conv_0": _conv(sd["decoder.12.weight"], sd["decoder.12.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def import_reference_yoloseg(state_dict: Mapping) -> Dict:
+    """Reference YOLOSeg (`Main_Final.py:436-510`) -> coastline
+    `models.yoloseg.YOLOSeg` variables.
+
+    backbone Sequential conv indices [0,4,8,11,14,18,21,24] (bn at +1) ->
+    ConvBNAct_0..7; seg_head ConvT/BN pairs -> ConvTranspose_0..3 +
+    Norm_0..3; seg_head.12 -> Conv_0."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    for i, ci in enumerate([0, 4, 8, 11, 14, 18, 21, 24]):
+        p, s = _convbnact(f"backbone.{ci}", f"backbone.{ci + 1}", sd)
+        params[f"ConvBNAct_{i}"] = p
+        stats[f"ConvBNAct_{i}"] = s
+
+    for i, (ti, bi) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10)]):
+        params[f"ConvTranspose_{i}"] = _convT(
+            sd[f"seg_head.{ti}.weight"], sd[f"seg_head.{ti}.bias"]
+        )
+        bn_p, bn_s = _bn(f"seg_head.{bi}", sd)
+        params[f"Norm_{i}"] = {"BatchNorm_0": bn_p}
+        stats[f"Norm_{i}"] = {"BatchNorm_0": bn_s}
+
+    params["Conv_0"] = {"Conv_0": _conv(sd["seg_head.12.weight"], sd["seg_head.12.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def _pyramid_pooling(prefix: str, sd: Mapping, n_branches: int = 4):
+    """Reference PyramidPooling (`comne.py:214-240` / the identical FastSCNN
+    copy at `comne.py:343-371`): convs.{i} = Sequential(pool, conv, bn, relu)
+    -> coastline `PyramidPooling` Conv_i/Norm_i per branch."""
+    p: Dict = {}
+    s: Dict = {}
+    for i in range(n_branches):
+        p[f"Conv_{i}"] = {
+            "Conv_0": _conv(sd[f"{prefix}.convs.{i}.1.weight"],
+                            sd[f"{prefix}.convs.{i}.1.bias"])
+        }
+        bn_p, bn_s = _bn(f"{prefix}.convs.{i}.2", sd)
+        p[f"Norm_{i}"] = {"BatchNorm_0": bn_p}
+        s[f"Norm_{i}"] = {"BatchNorm_0": bn_s}
+    return p, s
+
+
+def import_reference_pspnet(state_dict: Mapping) -> Dict:
+    """Reference PSPNet (`comne.py:243-299`) -> coastline
+    `models.pspnet.PSPNet` variables.
+
+    conv1..conv4 -> ConvBNAct_0..3; ppm -> PyramidPooling_0;
+    final_conv.(0,1) -> ConvBNAct_4; final_conv.4 -> Conv_0 (1x1 head;
+    Dropout2d carries no params)."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    for i, name in enumerate(["conv1", "conv2", "conv3", "conv4"]):
+        p, s = _convbnact(f"{name}.0", f"{name}.1", sd)
+        params[f"ConvBNAct_{i}"] = p
+        stats[f"ConvBNAct_{i}"] = s
+
+    pp_p, pp_s = _pyramid_pooling("ppm", sd)
+    params["PyramidPooling_0"] = pp_p
+    stats["PyramidPooling_0"] = pp_s
+
+    p, s = _convbnact("final_conv.0", "final_conv.1", sd)
+    params["ConvBNAct_4"] = p
+    stats["ConvBNAct_4"] = s
+    params["Conv_0"] = {
+        "Conv_0": _conv(sd["final_conv.4.weight"], sd["final_conv.4.bias"])
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def _dsconv(prefix: str, sd: Mapping):
+    """Reference DepthwiseSeparableConv (`comne.py:305-320`): depthwise 3x3
+    (groups=C, no bias) + pointwise 1x1 (no bias) + BN -> coastline
+    `DepthwiseSeparableConv` Conv_0/Conv_1/Norm_0. The grouped-conv kernel
+    transposes like any conv: torch (C,1,3,3) -> flax (3,3,1,C)."""
+    bn_p, bn_s = _bn(f"{prefix}.bn", sd)
+    p = {
+        "Conv_0": {"Conv_0": _conv(sd[f"{prefix}.depthwise.weight"])},
+        "Conv_1": {"Conv_0": _conv(sd[f"{prefix}.pointwise.weight"])},
+        "Norm_0": {"BatchNorm_0": bn_p},
+    }
+    return p, {"Norm_0": {"BatchNorm_0": bn_s}}
+
+
+def import_reference_fastscnn(state_dict: Mapping) -> Dict:
+    """Reference FastSCNN (`comne.py:447-476`) -> coastline
+    `models.fastscnn.FastSCNN` variables.
+
+    learning_to_downsample.conv1 -> ConvBNAct_0 (bias-free);
+    dsconv1/dsconv2 + global_feature_extractor block1..3 -> the 11
+    DepthwiseSeparableConv_0..10 in call order; gfe.ppm ->
+    PyramidPooling_0; feature_fusion conv_low/conv_high -> Conv_0/Norm_0,
+    Conv_1/Norm_1 (bias-free 1x1 + BN); classifier.conv1/conv2 ->
+    DepthwiseSeparableConv_11/12, classifier.conv3 -> Conv_2."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    p, s = _convbnact("learning_to_downsample.conv1.0",
+                      "learning_to_downsample.conv1.1", sd, bias=False)
+    params["ConvBNAct_0"] = p
+    stats["ConvBNAct_0"] = s
+
+    ds_prefixes = (
+        ["learning_to_downsample.dsconv1", "learning_to_downsample.dsconv2"]
+        + [f"global_feature_extractor.block1.{j}" for j in range(3)]
+        + [f"global_feature_extractor.block2.{j}" for j in range(3)]
+        + [f"global_feature_extractor.block3.{j}" for j in range(3)]
+    )
+    for i, prefix in enumerate(ds_prefixes):
+        p, s = _dsconv(prefix, sd)
+        params[f"DepthwiseSeparableConv_{i}"] = p
+        stats[f"DepthwiseSeparableConv_{i}"] = s
+
+    pp_p, pp_s = _pyramid_pooling("global_feature_extractor.ppm", sd)
+    params["PyramidPooling_0"] = pp_p
+    stats["PyramidPooling_0"] = pp_s
+
+    for i, seq in enumerate(["conv_low", "conv_high"]):
+        params[f"Conv_{i}"] = {
+            "Conv_0": _conv(sd[f"feature_fusion.{seq}.0.weight"])
+        }
+        bn_p, bn_s = _bn(f"feature_fusion.{seq}.1", sd)
+        params[f"Norm_{i}"] = {"BatchNorm_0": bn_p}
+        stats[f"Norm_{i}"] = {"BatchNorm_0": bn_s}
+
+    for i, name in enumerate(["conv1", "conv2"]):
+        p, s = _dsconv(f"classifier.{name}", sd)
+        params[f"DepthwiseSeparableConv_{11 + i}"] = p
+        stats[f"DepthwiseSeparableConv_{11 + i}"] = s
+    params["Conv_2"] = {
+        "Conv_0": _conv(sd["classifier.conv3.weight"], sd["classifier.conv3.bias"])
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def _enet_bottleneck(prefix: str, sd: Mapping, downsample: bool, asymmetric: bool):
+    """Reference ENet BottleneckBlock (`comne.py:500-557`) -> coastline
+    `ENetBottleneck`. Flax call order: [identity Conv_0/Norm_0 when
+    downsampling] -> ConvBNAct_0 (conv1) -> branch Conv/Norm pairs (one for
+    the dilated 3x3, two for the 5x1+1x5 asymmetric pair) -> final 1x1
+    Conv/Norm. All convs bias-free on both sides."""
+    p: Dict = {}
+    s: Dict = {}
+    i = 0
+    if downsample:
+        p[f"Conv_{i}"] = {"Conv_0": _conv(sd[f"{prefix}.conv_down.0.weight"])}
+        bn_p, bn_s = _bn(f"{prefix}.conv_down.1", sd)
+        p[f"Norm_{i}"] = {"BatchNorm_0": bn_p}
+        s[f"Norm_{i}"] = {"BatchNorm_0": bn_s}
+        i += 1
+
+    cb_p, cb_s = _convbnact(f"{prefix}.conv1.0", f"{prefix}.conv1.1", sd, bias=False)
+    p["ConvBNAct_0"] = cb_p
+    s["ConvBNAct_0"] = cb_s
+
+    mid = [(f"{prefix}.conv2.0", f"{prefix}.conv2.1")]
+    if asymmetric:
+        mid.append((f"{prefix}.conv2.3", f"{prefix}.conv2.4"))
+    mid.append((f"{prefix}.conv3.0", f"{prefix}.conv3.1"))
+    for conv, bn in mid:
+        p[f"Conv_{i}"] = {"Conv_0": _conv(sd[f"{conv}.weight"])}
+        bn_p, bn_s = _bn(bn, sd)
+        p[f"Norm_{i}"] = {"BatchNorm_0": bn_p}
+        s[f"Norm_{i}"] = {"BatchNorm_0": bn_s}
+        i += 1
+    return p, s
+
+
+def import_reference_enet(state_dict: Mapping) -> Dict:
+    """Reference ENet (`comne.py:560-608`) -> coastline `models.enet.ENet`
+    variables.
+
+    initial -> ENetInitialBlock_0; encoder1.0-3 + encoder2.0-8 ->
+    ENetBottleneck_0..12 (downsample at encoder1.0/encoder2.0, asymmetric at
+    encoder2.{3,7}); decoder ConvT/BN pairs (0,1)/(3,4) -> ConvTranspose_0/1
+    + Norm_0/1, decoder.6 -> ConvTranspose_2 (the 2x2 head)."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    init_p = {"Conv_0": {"Conv_0": _conv(sd["initial.conv.weight"])}}
+    bn_p, bn_s = _bn("initial.bn", sd)
+    init_p["Norm_0"] = {"BatchNorm_0": bn_p}
+    params["ENetInitialBlock_0"] = init_p
+    stats["ENetInitialBlock_0"] = {"Norm_0": {"BatchNorm_0": bn_s}}
+
+    blocks = [(f"encoder1.{j}", j == 0, False) for j in range(4)] + [
+        (f"encoder2.{j}", j == 0, j in (3, 7)) for j in range(9)
+    ]
+    for i, (prefix, down, asym) in enumerate(blocks):
+        p, s = _enet_bottleneck(prefix, sd, down, asym)
+        params[f"ENetBottleneck_{i}"] = p
+        stats[f"ENetBottleneck_{i}"] = s
+
+    for i, (ti, bi) in enumerate([(0, 1), (3, 4)]):
+        params[f"ConvTranspose_{i}"] = _convT(
+            sd[f"decoder.{ti}.weight"], sd[f"decoder.{ti}.bias"]
+        )
+        bn_p, bn_s = _bn(f"decoder.{bi}", sd)
+        params[f"Norm_{i}"] = {"BatchNorm_0": bn_p}
+        stats[f"Norm_{i}"] = {"BatchNorm_0": bn_s}
+    params["ConvTranspose_2"] = _convT(
+        sd["decoder.6.weight"], sd["decoder.6.bias"]
+    )
+    return {"params": params, "batch_stats": stats}
+
+
 def load_reference_pth(path: str) -> Dict:
     """Load a torch .pth file and convert (torch import gated here)."""
     import torch

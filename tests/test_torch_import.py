@@ -173,6 +173,100 @@ def test_reference_segnet_weight_level_forward_parity():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 
+def _zoo_cases():
+    """(ref module, ref class, import fn name, coastline class path, HW)."""
+    return [
+        ("Main_Final", "DeepLabV3Plus", "import_reference_deeplabv3plus",
+         "coastline.models.deeplabv3p.DeepLabV3Plus", 96),
+        ("Main_Final", "YOLOSeg", "import_reference_yoloseg",
+         "coastline.models.yoloseg.YOLOSeg", 96),
+        ("comne", "PSPNet", "import_reference_pspnet",
+         "coastline.models.pspnet.PSPNet", 96),
+        ("comne", "FastSCNN", "import_reference_fastscnn",
+         "coastline.models.fastscnn.FastSCNN", 96),
+        ("comne", "ENet", "import_reference_enet",
+         "coastline.models.enet.ENet", 96),
+    ]
+
+
+def _resolve(path: str):
+    import importlib
+
+    modname, clsname = path.rsplit(".", 1)
+    return getattr(importlib.import_module(modname), clsname)
+
+
+@pytest.mark.parametrize(
+    "refmod,refcls,importer,clpath,hw",
+    _zoo_cases(),
+    ids=[c[1] for c in _zoo_cases()],
+)
+def test_zoo_weight_level_forward_parity(refmod, refcls, importer, clpath, hw):
+    """Weight-level forward parity for the rest of the benchmarked zoo:
+    port each reference architecture's random-init state_dict into the
+    coastline model and assert eval-mode forward agreement at f32. Covers
+    the Main_Final trio (with RobustUNet above) and the comne four (with
+    SegNet above) — ASPP/pyramid-pooling resizes, depthwise-separable
+    convs, ENet's dilated/asymmetric bottlenecks and every ConvTranspose
+    variant are certified against torch, not just param-counted."""
+    import torch
+
+    from coastline.utils import torch_import
+
+    mod = _load_reference_module(refmod)
+    torch.manual_seed(0)
+    tm = getattr(mod, refcls)(n_classes=1).eval()
+    variables = getattr(torch_import, importer)(tm.state_dict())
+
+    x = np.random.default_rng(2).normal(size=(2, hw, hw, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = _resolve(clpath)(n_classes=1)
+    out = np.asarray(
+        model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x,
+            train=False,
+        )
+    ).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "refmod,refcls,importer,clpath,hw",
+    _zoo_cases(),
+    ids=[c[1] for c in _zoo_cases()],
+)
+def test_zoo_import_tree_matches_model_init(refmod, refcls, importer, clpath, hw):
+    """Converted trees must structurally match a fresh init, leaf for leaf —
+    catches silently-ignored extra keys the forward test cannot."""
+    import jax
+    import jax.numpy as jnp
+
+    from coastline.utils import torch_import
+
+    mod = _load_reference_module(refmod)
+    tm = getattr(mod, refcls)(n_classes=1)
+    conv = getattr(torch_import, importer)(tm.state_dict())
+
+    cls = _resolve(clpath)
+    init = jax.eval_shape(
+        lambda: cls(n_classes=1).init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    )
+    for col in ("params", "batch_stats"):
+        conv_paths = {
+            jax.tree_util.keystr(p): np.asarray(v).shape
+            for p, v in jax.tree_util.tree_flatten_with_path(conv[col])[0]
+        }
+        init_paths = {
+            jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_flatten_with_path(init[col])[0]
+        }
+        assert conv_paths == init_paths, col
+
+
 def test_import_tree_matches_model_init():
     """Converted tree must structurally match a fresh init (same leaves)."""
     import jax
