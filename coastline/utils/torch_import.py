@@ -501,6 +501,206 @@ def import_reference_enet(state_dict: Mapping) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_reference_waternet(state_dict: Mapping) -> Dict:
+    """Reference WaterNet (`Extended_Baseline_Comparison.py:396-473`) ->
+    coastline `models.waternet.WaterNet` variables.
+
+    water_index.index_conv (1x1/BN/1x1) -> WaterIndexModule_0; enc1..3 +
+    bottleneck double-convs -> ConvBNAct_0..7; water_attention (CBAM channel
+    gate, bias-free 1x1 MLP) -> ChannelAttention_0 Dense_0/1; up3..1 ->
+    ConvTranspose_0..2 interleaved with dec3..1 -> ConvBNAct_8..13 in call
+    order; outc.0 -> Conv_0."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    bn_p, bn_s = _bn("water_index.index_conv.1", sd)
+    params["WaterIndexModule_0"] = {
+        "Conv_0": {"Conv_0": _conv(sd["water_index.index_conv.0.weight"],
+                                   sd["water_index.index_conv.0.bias"])},
+        "Norm_0": {"BatchNorm_0": bn_p},
+        "Conv_1": {"Conv_0": _conv(sd["water_index.index_conv.3.weight"],
+                                   sd["water_index.index_conv.3.bias"])},
+    }
+    stats["WaterIndexModule_0"] = {"Norm_0": {"BatchNorm_0": bn_s}}
+
+    i = 0
+    for seq in ["enc1", "enc2", "enc3", "bottleneck"]:
+        for ci, bi in [(0, 1), (3, 4)]:
+            p, s = _convbnact(f"{seq}.{ci}", f"{seq}.{bi}", sd)
+            params[f"ConvBNAct_{i}"] = p
+            stats[f"ConvBNAct_{i}"] = s
+            i += 1
+
+    params["ChannelAttention_0"] = {
+        "Dense_0": _dense_from_1x1(sd["water_attention.fc.0.weight"]),
+        "Dense_1": _dense_from_1x1(sd["water_attention.fc.2.weight"]),
+    }
+
+    for t, (up, dec) in enumerate([("up3", "dec3"), ("up2", "dec2"), ("up1", "dec1")]):
+        params[f"ConvTranspose_{t}"] = _convT(sd[f"{up}.weight"], sd[f"{up}.bias"])
+        for ci, bi in [(0, 1), (3, 4)]:
+            p, s = _convbnact(f"{dec}.{ci}", f"{dec}.{bi}", sd)
+            params[f"ConvBNAct_{i}"] = p
+            stats[f"ConvBNAct_{i}"] = s
+            i += 1
+
+    params["Conv_0"] = {"Conv_0": _conv(sd["outc.0.weight"], sd["outc.0.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def _multiscale_block(prefix: str, sd: Mapping):
+    """Reference MultiScaleBlock (`Extended_Baseline_Comparison.py:479-494`):
+    branch1..4 -> coastline `MultiScaleBlock` ConvBNAct_0..3 (branch4's
+    Sequential leads with the parameter-free MaxPool, so its conv/bn sit at
+    indices 1/2)."""
+    p: Dict = {}
+    s: Dict = {}
+    layout = [("branch1", 0, 1), ("branch2", 0, 1), ("branch3", 0, 1),
+              ("branch4", 1, 2)]
+    for i, (name, ci, bi) in enumerate(layout):
+        bp, bs = _convbnact(f"{prefix}.{name}.{ci}", f"{prefix}.{name}.{bi}", sd)
+        p[f"ConvBNAct_{i}"] = bp
+        s[f"ConvBNAct_{i}"] = bs
+    return p, s
+
+
+def import_reference_mswnet(state_dict: Mapping) -> Dict:
+    """Reference MSWNet (`Extended_Baseline_Comparison.py:497-548`) ->
+    coastline `models.mswnet.MSWNet` variables.
+
+    enc1..4 -> MultiScaleBlock_0..3; bridge double-conv -> top-level
+    ConvBNAct_0/1; up4..1 -> ConvTranspose_0..3 with dec4..1 ->
+    ConvBNAct_2..5; outc.0 -> Conv_0."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    for i, name in enumerate(["enc1", "enc2", "enc3", "enc4"]):
+        p, s = _multiscale_block(name, sd)
+        params[f"MultiScaleBlock_{i}"] = p
+        stats[f"MultiScaleBlock_{i}"] = s
+
+    for j, (ci, bi) in enumerate([(0, 1), (3, 4)]):
+        p, s = _convbnact(f"bridge.{ci}", f"bridge.{bi}", sd)
+        params[f"ConvBNAct_{j}"] = p
+        stats[f"ConvBNAct_{j}"] = s
+
+    for t, (up, dec) in enumerate([("up4", "dec4"), ("up3", "dec3"),
+                                   ("up2", "dec2"), ("up1", "dec1")]):
+        params[f"ConvTranspose_{t}"] = _convT(sd[f"{up}.weight"], sd[f"{up}.bias"])
+        p, s = _convbnact(f"{dec}.0", f"{dec}.1", sd)
+        params[f"ConvBNAct_{t + 2}"] = p
+        stats[f"ConvBNAct_{t + 2}"] = s
+
+    params["Conv_0"] = {"Conv_0": _conv(sd["outc.0.weight"], sd["outc.0.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def import_reference_hrnet_water(state_dict: Mapping) -> Dict:
+    """Reference HRNetWater (`Extended_Baseline_Comparison.py:554-616`) ->
+    coastline `models.hrnet_water.HRNetWater` variables.
+
+    stem/hr_branch/mr_branch/lr_branch double-convs -> ConvBNAct_0..7;
+    mr_to_hr / lr_to_hr (1x1 conv + BN, upsample is parameter-free) ->
+    Conv_0/Norm_0 and Conv_1/Norm_1; head.(0,1) -> ConvBNAct_8; head.4 ->
+    Conv_2 (torch's Upsample at head.3 has no params)."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    i = 0
+    for seq in ["stem", "hr_branch", "mr_branch", "lr_branch"]:
+        for ci, bi in [(0, 1), (3, 4)]:
+            p, s = _convbnact(f"{seq}.{ci}", f"{seq}.{bi}", sd)
+            params[f"ConvBNAct_{i}"] = p
+            stats[f"ConvBNAct_{i}"] = s
+            i += 1
+
+    for j, seq in enumerate(["mr_to_hr", "lr_to_hr"]):
+        params[f"Conv_{j}"] = {
+            "Conv_0": _conv(sd[f"{seq}.0.weight"], sd[f"{seq}.0.bias"])
+        }
+        bn_p, bn_s = _bn(f"{seq}.1", sd)
+        params[f"Norm_{j}"] = {"BatchNorm_0": bn_p}
+        stats[f"Norm_{j}"] = {"BatchNorm_0": bn_s}
+
+    p, s = _convbnact("head.0", "head.1", sd)
+    params["ConvBNAct_8"] = p
+    stats["ConvBNAct_8"] = s
+    params["Conv_2"] = {"Conv_0": _conv(sd["head.4.weight"], sd["head.4.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def _efficient_self_attention(prefix: str, sd: Mapping):
+    """Reference EfficientSelfAttention (`Extended_Baseline_Comparison.py:
+    636-664`) -> coastline `EfficientSelfAttention`. Call order declares the
+    query conv, then the stride-r reduction, then kv, then proj ->
+    Conv_0..3; torch registers q, kv, proj, reduction."""
+    p: Dict = {}
+    for i, name in enumerate(["q", "reduction", "kv", "proj"]):
+        p[f"Conv_{i}"] = {
+            "Conv_0": _conv(sd[f"{prefix}.{name}.weight"], sd[f"{prefix}.{name}.bias"])
+        }
+    return p
+
+
+def _mixffn(prefix: str, sd: Mapping):
+    """Reference MixFFN (`Extended_Baseline_Comparison.py:622-633`): fc1 /
+    depthwise 3x3 / fc2 -> Conv_0..2 (the grouped dwconv kernel transposes
+    like any conv: (hidden,1,3,3) -> (3,3,1,hidden))."""
+    p: Dict = {}
+    for i, name in enumerate(["fc1", "dwconv", "fc2"]):
+        p[f"Conv_{i}"] = {
+            "Conv_0": _conv(sd[f"{prefix}.{name}.weight"], sd[f"{prefix}.{name}.bias"])
+        }
+    return p
+
+
+def import_reference_segformer_lite(state_dict: Mapping) -> Dict:
+    """Reference SegFormerLite (`Extended_Baseline_Comparison.py:667-744`) ->
+    coastline `models.segformer_lite.SegFormerLite` variables.
+
+    patch_embed1..4 -> ConvBNAct_0..3 (GELU stages); attn1..3 ->
+    EfficientSelfAttention_0..2; ffn1..3 -> MixFFN_0..2; linear_c4..c1 ->
+    Conv_0..3 (decode call order is c4 first); linear_fuse -> ConvBNAct_4;
+    head.(0,1) -> ConvBNAct_5, head.3 -> Conv_4. NOTE the documented
+    sigmoid/upsample-ordering deviation (models/segformer_lite.py): forward
+    parity holds for `return_logits=True` against a torch model whose head
+    sigmoid is removed — all parameterized compute is identical."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    for i in range(4):
+        p, s = _convbnact(f"patch_embed{i + 1}.0", f"patch_embed{i + 1}.1", sd)
+        params[f"ConvBNAct_{i}"] = p
+        stats[f"ConvBNAct_{i}"] = s
+
+    for i in range(3):
+        params[f"EfficientSelfAttention_{i}"] = _efficient_self_attention(
+            f"attn{i + 1}", sd)
+        params[f"MixFFN_{i}"] = _mixffn(f"ffn{i + 1}", sd)
+
+    for i, name in enumerate(["linear_c4", "linear_c3", "linear_c2", "linear_c1"]):
+        params[f"Conv_{i}"] = {
+            "Conv_0": _conv(sd[f"{name}.weight"], sd[f"{name}.bias"])
+        }
+
+    p, s = _convbnact("linear_fuse.0", "linear_fuse.1", sd)
+    params["ConvBNAct_4"] = p
+    stats["ConvBNAct_4"] = s
+    p, s = _convbnact("head.0", "head.1", sd)
+    params["ConvBNAct_5"] = p
+    stats["ConvBNAct_5"] = s
+    params["Conv_4"] = {"Conv_0": _conv(sd["head.3.weight"], sd["head.3.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
 def load_reference_pth(path: str) -> Dict:
     """Load a torch .pth file and convert (torch import gated here)."""
     import torch

@@ -186,6 +186,12 @@ def _zoo_cases():
          "coastline.models.fastscnn.FastSCNN", 96),
         ("comne", "ENet", "import_reference_enet",
          "coastline.models.enet.ENet", 96),
+        ("Extended_Baseline_Comparison", "WaterNet", "import_reference_waternet",
+         "coastline.models.waternet.WaterNet", 64),
+        ("Extended_Baseline_Comparison", "MSWNet", "import_reference_mswnet",
+         "coastline.models.mswnet.MSWNet", 64),
+        ("Extended_Baseline_Comparison", "HRNetWater", "import_reference_hrnet_water",
+         "coastline.models.hrnet_water.HRNetWater", 64),
     ]
 
 
@@ -254,6 +260,66 @@ def test_zoo_import_tree_matches_model_init(refmod, refcls, importer, clpath, hw
     cls = _resolve(clpath)
     init = jax.eval_shape(
         lambda: cls(n_classes=1).init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    )
+    for col in ("params", "batch_stats"):
+        conv_paths = {
+            jax.tree_util.keystr(p): np.asarray(v).shape
+            for p, v in jax.tree_util.tree_flatten_with_path(conv[col])[0]
+        }
+        init_paths = {
+            jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_flatten_with_path(init[col])[0]
+        }
+        assert conv_paths == init_paths, col
+
+
+def test_segformer_lite_weight_level_forward_parity():
+    """SegFormerLite carries the zoo's one documented forward deviation: the
+    reference squashes with sigmoid BEFORE its final bilinear upsample
+    (`Extended_Baseline_Comparison.py:710-742`), coastline upsamples logits
+    and squashes last. Parity is therefore asserted at the logits level —
+    the torch head's Sigmoid is swapped for Identity, coastline runs with
+    `return_logits=True`, and every parameterized op (patch embeds,
+    spatial-reduction attention, MixFFN, MLP decoder) must agree exactly."""
+    import torch
+
+    from coastline.models.segformer_lite import SegFormerLite
+    from coastline.utils.torch_import import import_reference_segformer_lite
+
+    mod = _load_reference_module("Extended_Baseline_Comparison")
+    torch.manual_seed(0)
+    tm = mod.SegFormerLite(n_classes=1).eval()
+    variables = import_reference_segformer_lite(tm.state_dict())
+    tm.head[4] = torch.nn.Identity()  # logits-level comparison
+
+    x = np.random.default_rng(3).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    out = np.asarray(
+        SegFormerLite(n_classes=1).apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x,
+            train=False,
+            return_logits=True,
+        )
+    ).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_segformer_lite_import_tree_matches_model_init():
+    import jax
+    import jax.numpy as jnp
+
+    from coastline.models.segformer_lite import SegFormerLite
+    from coastline.utils.torch_import import import_reference_segformer_lite
+
+    mod = _load_reference_module("Extended_Baseline_Comparison")
+    conv = import_reference_segformer_lite(mod.SegFormerLite(n_classes=1).state_dict())
+    init = jax.eval_shape(
+        lambda: SegFormerLite(n_classes=1).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     )
     for col in ("params", "batch_stats"):
         conv_paths = {
