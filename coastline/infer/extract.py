@@ -44,9 +44,20 @@ class CoastlineExtractor:
             self.variables = variables
         elif torch_checkpoint is not None:
             # a reference-era .pth (e.g. models/best_water_segmentation_model.pth)
-            from coastline.utils.torch_import import load_reference_pth
+            import torch
 
-            self.variables = load_reference_pth(torch_checkpoint)
+            from coastline.utils.torch_import import import_reference_checkpoint
+
+            sd = torch.load(torch_checkpoint, map_location="cpu")
+            arch, self.variables = import_reference_checkpoint(sd)
+            if arch != "UNet":
+                raise ValueError(
+                    f"{torch_checkpoint} is a {arch!r} checkpoint; the "
+                    "extractor's 2-class argmax pipeline expects the "
+                    "reference UNet artifact. Convert it with "
+                    "coastline.utils.torch_import.import_reference_checkpoint "
+                    f"and run create_model({arch!r}) directly."
+                )
             print(f"imported PyTorch checkpoint {torch_checkpoint}")
         elif checkpoint_dir is not None:
             from coastline.train.trainer import TrainerConfig, WaterSegmentationTrainer

@@ -701,8 +701,68 @@ def import_reference_segformer_lite(state_dict: Mapping) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def load_reference_pth(path: str) -> Dict:
-    """Load a torch .pth file and convert (torch import gated here)."""
+# Registry-canonical model name -> (unique state_dict signature key, importer).
+# Signature keys are each distinctive module names no other reference
+# architecture declares, so one membership test identifies the checkpoint.
+REFERENCE_IMPORTERS = {
+    "UNet": ("upconv4.weight", import_reference_unet),
+    "Robust UNet": ("att4.W_g.0.weight", import_reference_robust_unet),
+    # NB "dec1.3.weight" would also match WaterNet's double-conv decoder;
+    # the 3-conv enc4 stage (conv at Sequential index 6) is SegNet-only.
+    "SegNet": ("enc4.6.weight", import_reference_segnet),
+    "DeepLabV3+": ("aspp.conv1.weight", import_reference_deeplabv3plus),
+    "YOLO-SEG": ("seg_head.0.weight", import_reference_yoloseg),
+    "PSPNet": ("ppm.convs.0.1.weight", import_reference_pspnet),
+    "Fast-SCNN": ("learning_to_downsample.conv1.0.weight", import_reference_fastscnn),
+    "ENet": ("initial.conv.weight", import_reference_enet),
+    "WaterNet": ("water_index.index_conv.0.weight", import_reference_waternet),
+    "MSWNet": ("enc1.branch1.0.weight", import_reference_mswnet),
+    "HRNet-Water": ("hr_branch.0.weight", import_reference_hrnet_water),
+    "SegFormer-Lite": ("patch_embed1.0.weight", import_reference_segformer_lite),
+}
+
+
+def detect_reference_architecture(state_dict: Mapping) -> str:
+    """Identify which reference architecture a torch state_dict belongs to.
+
+    Returns the registry-canonical model name (`coastline.models.create_model`
+    accepts it directly). Raises ValueError for an unrecognized tree."""
+    for name, (signature, _) in REFERENCE_IMPORTERS.items():
+        if signature in state_dict:
+            return name
+    sample = sorted(state_dict)[:5]
+    raise ValueError(
+        "state_dict does not match any reference architecture "
+        f"(first keys: {sample}); known: {sorted(REFERENCE_IMPORTERS)}"
+    )
+
+
+def import_reference_checkpoint(state_dict: Mapping, arch: str = None):
+    """Convert any reference-architecture state_dict.
+
+    Returns (canonical_model_name, variables). `arch` (any registry name or
+    alias) skips detection; otherwise the tree is identified by signature."""
+    if arch is None:
+        name = detect_reference_architecture(state_dict)
+    else:
+        from coastline.models.registry import _ALIASES, _populate
+
+        _populate()
+        name = _ALIASES.get(arch.lower(), arch)
+        if name not in REFERENCE_IMPORTERS:
+            raise KeyError(
+                f"no importer for {arch!r}; known: {sorted(REFERENCE_IMPORTERS)}"
+            )
+    return name, REFERENCE_IMPORTERS[name][1](state_dict)
+
+
+def load_reference_pth(path: str, arch: str = None) -> Dict:
+    """Load a torch .pth file and convert (torch import gated here).
+
+    The architecture is auto-detected from the state_dict (any of the 12
+    reference models); pass `arch` to pin it. Returns the variables dict —
+    use `import_reference_checkpoint` when the caller also needs the
+    detected model name."""
     import torch
 
-    return import_reference_unet(torch.load(path, map_location="cpu"))
+    return import_reference_checkpoint(torch.load(path, map_location="cpu"), arch)[1]

@@ -333,6 +333,61 @@ def test_segformer_lite_import_tree_matches_model_init():
         assert conv_paths == init_paths, col
 
 
+def test_detect_reference_architecture_all_models():
+    """Every reference model's state_dict is identified by signature, and
+    `import_reference_checkpoint` round-trips to a structurally complete
+    tree without the caller naming the architecture."""
+    from coastline.utils.torch_import import (
+        REFERENCE_IMPORTERS,
+        detect_reference_architecture,
+        import_reference_checkpoint,
+    )
+
+    builders = {
+        "UNet": lambda: _load_reference_unet_class()(3, 2),
+        "Robust UNet": lambda: _load_reference_module("Main_Final").RobustUNet(3, 1),
+        "DeepLabV3+": lambda: _load_reference_module("Main_Final").DeepLabV3Plus(1),
+        "YOLO-SEG": lambda: _load_reference_module("Main_Final").YOLOSeg(1),
+        "SegNet": lambda: _load_reference_module("comne").SegNet(1),
+        "PSPNet": lambda: _load_reference_module("comne").PSPNet(1),
+        "Fast-SCNN": lambda: _load_reference_module("comne").FastSCNN(1),
+        "ENet": lambda: _load_reference_module("comne").ENet(1),
+        "WaterNet": lambda: _load_reference_module(
+            "Extended_Baseline_Comparison").WaterNet(1),
+        "MSWNet": lambda: _load_reference_module(
+            "Extended_Baseline_Comparison").MSWNet(1),
+        "HRNet-Water": lambda: _load_reference_module(
+            "Extended_Baseline_Comparison").HRNetWater(1),
+        "SegFormer-Lite": lambda: _load_reference_module(
+            "Extended_Baseline_Comparison").SegFormerLite(1),
+    }
+    assert sorted(builders) == sorted(REFERENCE_IMPORTERS)
+    for expected, build in builders.items():
+        sd = build().state_dict()
+        assert detect_reference_architecture(sd) == expected
+        name, variables = import_reference_checkpoint(sd)
+        assert name == expected and "params" in variables
+
+    with pytest.raises(ValueError, match="does not match any reference"):
+        detect_reference_architecture({"bogus.weight": None})
+    with pytest.raises(KeyError, match="no importer"):
+        import_reference_checkpoint({}, arch="NoSuchNet")
+
+
+def test_extractor_rejects_non_unet_pth(tmp_path):
+    """The extractor's .pth intake auto-detects the architecture and names
+    the mismatch instead of failing deep inside the UNet key mapping."""
+    import torch
+
+    from coastline.infer.extract import CoastlineExtractor
+
+    mf = _load_reference_module("Main_Final")
+    path = tmp_path / "robust.pth"
+    torch.save(mf.RobustUNet(3, 1).state_dict(), path)
+    with pytest.raises(ValueError, match="Robust UNet"):
+        CoastlineExtractor(torch_checkpoint=str(path), image_size=64)
+
+
 def test_import_tree_matches_model_init():
     """Converted tree must structurally match a fresh init (same leaves)."""
     import jax
