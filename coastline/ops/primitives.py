@@ -181,8 +181,19 @@ class _FastBatchNorm(nn.Module):
             mean = jnp.mean(xf, axis=axes)
             var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean, 0.0)
             if not self.is_initializing():
+                # torch semantics: normalize with the biased variance but fold
+                # the UNBIASED one (x N/(N-1)) into the running stats
+                # (torch.nn.BatchNorm2d docs; verified step-for-step in
+                # tests/test_train_parity.py).
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                correction = n / max(n - 1, 1)
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * correction
+                )
         inv = scale * jax.lax.rsqrt(var + self.epsilon)
         shift = bias - mean * inv
         return x * inv.astype(x.dtype) + shift.astype(x.dtype)
