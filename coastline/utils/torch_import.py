@@ -756,6 +756,137 @@ def import_reference_checkpoint(state_dict: Mapping, arch: str = None):
     return name, REFERENCE_IMPORTERS[name][1](state_dict)
 
 
+# --------------------------------------------------------------------------
+# Export: coastline variables -> reference-compatible torch state_dicts.
+# Inverse of the import layout transforms; round-trip exactness is pinned in
+# tests/test_torch_import.py (sd -> import -> export -> identical arrays).
+# --------------------------------------------------------------------------
+
+
+def _conv_inv(tree):
+    """flax conv {'kernel' (kh,kw,in,out) [, 'bias']} -> torch tensors."""
+    out = {"weight": np.transpose(np.asarray(tree["kernel"]), (3, 2, 0, 1))}
+    if "bias" in tree:
+        out["bias"] = np.asarray(tree["bias"])
+    return out
+
+
+def _convT_inv(tree):
+    """Inverse of `_convT`: un-flip then (kh,kw,in,out) -> (in,out,kh,kw)."""
+    k = np.asarray(tree["kernel"])[::-1, ::-1]
+    out = {"weight": np.transpose(k, (2, 3, 0, 1)).copy()}
+    if "bias" in tree:
+        out["bias"] = np.asarray(tree["bias"])
+    return out
+
+
+def _dense_to_1x1(tree):
+    """flax Dense kernel (in,out) -> torch 1x1 conv weight (out,in,1,1)."""
+    return {"weight": np.asarray(tree["kernel"]).T[:, :, None, None]}
+
+
+def _bn_inv(prefix: str, p, s, out: Dict):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(s["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _emit(out: Dict, prefix: str, tensors: Mapping):
+    for k, v in tensors.items():
+        out[f"{prefix}.{k}"] = v
+
+
+def export_reference_unet(variables: Mapping) -> Dict:
+    """coastline UNet variables -> the reference's torch state_dict layout
+    (`train_water_segmentation.py:209-288`) — the exact inverse of
+    `import_reference_unet`, so coastline-trained weights drop back into
+    the reference tooling (or torch serving) unchanged."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    blocks = ["enc1", "enc2", "enc3", "enc4", "bottleneck",
+              "dec4", "dec3", "dec2", "dec1"]
+    for i, name in enumerate(blocks):
+        dc_p, dc_s = p[f"DoubleConv_{i}"], s[f"DoubleConv_{i}"]
+        for j in range(2):
+            cba_p = dc_p[f"ConvBNAct_{j}"]
+            cba_s = dc_s[f"ConvBNAct_{j}"]
+            _emit(out, f"{name}.{3 * j}", _conv_inv(cba_p["Conv_0"]["Conv_0"]))
+            _bn_inv(f"{name}.{3 * j + 1}", cba_p["Norm_0"]["BatchNorm_0"],
+                    cba_s["Norm_0"]["BatchNorm_0"], out)
+    for i, name in enumerate(["upconv4", "upconv3", "upconv2", "upconv1"]):
+        _emit(out, name, _convT_inv(p[f"ConvTranspose_{i}"]))
+    _emit(out, "final", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def _residual_block_inv(prefix: str, p, s, out: Dict):
+    i = 0
+    n_convs = sum(1 for k in p if k.startswith("Conv_"))
+    if n_convs == 3:  # 1x1 shortcut present (in != out)
+        _emit(out, f"{prefix}.shortcut.0", _conv_inv(p["Conv_0"]["Conv_0"]))
+        _bn_inv(f"{prefix}.shortcut.1", p["Norm_0"]["BatchNorm_0"],
+                s["Norm_0"]["BatchNorm_0"], out)
+        i = 1
+    for conv, bn in (("conv1", "bn1"), ("conv2", "bn2")):
+        _emit(out, f"{prefix}.{conv}", _conv_inv(p[f"Conv_{i}"]["Conv_0"]))
+        _bn_inv(f"{prefix}.{bn}", p[f"Norm_{i}"]["BatchNorm_0"],
+                s[f"Norm_{i}"]["BatchNorm_0"], out)
+        i += 1
+    _emit(out, f"{prefix}.ca.fc.0", _dense_to_1x1(p["ChannelAttention_0"]["Dense_0"]))
+    _emit(out, f"{prefix}.ca.fc.2", _dense_to_1x1(p["ChannelAttention_0"]["Dense_1"]))
+    _emit(out, f"{prefix}.sa.conv1",
+          _conv_inv(p["SpatialAttention_0"]["Conv_0"]["Conv_0"]))
+
+
+def export_reference_robust_unet(variables: Mapping) -> Dict:
+    """coastline RobustUNet variables -> the reference torch state_dict
+    (`Main_Final.py:226-321`) — inverse of `import_reference_robust_unet`."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    rblocks = ["inc", "down1.1", "down2.1", "down3.1", "bottleneck.2",
+               "dec4", "dec3", "dec2", "dec1"]
+    for i, name in enumerate(rblocks):
+        _residual_block_inv(name, p[f"ResidualBlock_{i}"],
+                            s[f"ResidualBlock_{i}"], out)
+    db_p, db_s = p["DilatedBlock_0"], s["DilatedBlock_0"]
+    for j in range(4):
+        _emit(out, f"bottleneck.1.conv{j + 1}", _conv_inv(db_p[f"Conv_{j}"]["Conv_0"]))
+    _bn_inv("bottleneck.1.bn", db_p["Norm_0"]["BatchNorm_0"],
+            db_s["Norm_0"]["BatchNorm_0"], out)
+    for i, name in enumerate(["att4", "att3", "att2", "att1"]):
+        ag_p, ag_s = p[f"AttentionGate_{i}"], s[f"AttentionGate_{i}"]
+        for j, seq in enumerate(("W_g", "W_x", "psi")):
+            _emit(out, f"{name}.{seq}.0", _conv_inv(ag_p[f"Conv_{j}"]["Conv_0"]))
+            _bn_inv(f"{name}.{seq}.1", ag_p[f"Norm_{j}"]["BatchNorm_0"],
+                    ag_s[f"Norm_{j}"]["BatchNorm_0"], out)
+    for i, name in enumerate(["up4", "up3", "up2", "up1"]):
+        _emit(out, name, _convT_inv(p[f"ConvTranspose_{i}"]))
+    _emit(out, "outc.0", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def save_reference_pth(variables: Mapping, path: str, arch: str = "unet") -> None:
+    """Write coastline variables as a reference-loadable torch `.pth`.
+
+    arch: 'unet' (the production 2-class checkpoint the reference GUI/
+    trainer consume) or 'robust_unet'. Tensors are saved f32."""
+    import torch
+
+    exporters = {"unet": export_reference_unet,
+                 "robust_unet": export_reference_robust_unet}
+    key = arch.lower().replace(" ", "_").replace("-", "_")
+    if key not in exporters:
+        raise KeyError(f"no exporter for {arch!r}; known: {sorted(exporters)}")
+    sd = {
+        k: (torch.from_numpy(np.ascontiguousarray(np.asarray(v, np.float32)))
+            if np.asarray(v).ndim else torch.tensor(v))
+        for k, v in exporters[key](variables).items()
+    }
+    torch.save(sd, path)
+
+
 def load_reference_pth(path: str, arch: str = None) -> Dict:
     """Load a torch .pth file and convert (torch import gated here).
 
