@@ -867,22 +867,294 @@ def export_reference_robust_unet(variables: Mapping) -> Dict:
     return out
 
 
+def _convbnact_inv(conv_prefix: str, bn_prefix: str, p, s, out: Dict):
+    """Inverse of `_convbnact`: coastline ConvBNAct -> torch conv+bn keys."""
+    _emit(out, conv_prefix, _conv_inv(p["Conv_0"]["Conv_0"]))
+    _bn_inv(bn_prefix, p["Norm_0"]["BatchNorm_0"], s["Norm_0"]["BatchNorm_0"], out)
+
+
+def export_reference_segnet(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_segnet` (`comne.py:84-208`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    blocks = [("enc1", 2), ("enc2", 2), ("enc3", 3), ("enc4", 3),
+              ("dec4", 3), ("dec3", 3), ("dec2", 2), ("dec1", 1)]
+    i = 0
+    for name, nconv in blocks:
+        for j in range(nconv):
+            _convbnact_inv(f"{name}.{3 * j}", f"{name}.{3 * j + 1}",
+                           p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+            i += 1
+    _emit(out, "dec1.3", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def export_reference_deeplabv3plus(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_deeplabv3plus` (`Main_Final.py:359-433`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    stages = [("conv1", 0, 1), ("conv2", 1, 2), ("conv3", 0, 1), ("conv4", 0, 1)]
+    for i, (name, ci, bi) in enumerate(stages):
+        _convbnact_inv(f"{name}.{ci}", f"{name}.{bi}",
+                       p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+    ap, as_ = p["ASPP_0"], s["ASPP_0"]
+    for i, name in enumerate(["conv1", "conv2", "conv3", "conv4", "conv5", "conv_out"]):
+        _emit(out, f"aspp.{name}", _conv_inv(ap[f"Conv_{i}"]["Conv_0"]))
+    _bn_inv("aspp.bn", ap["Norm_0"]["BatchNorm_0"], as_["Norm_0"]["BatchNorm_0"], out)
+    for i, (ti, bi) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10)]):
+        _emit(out, f"decoder.{ti}", _convT_inv(p[f"ConvTranspose_{i}"]))
+        _bn_inv(f"decoder.{bi}", p[f"Norm_{i}"]["BatchNorm_0"],
+                s[f"Norm_{i}"]["BatchNorm_0"], out)
+    _emit(out, "decoder.12", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def export_reference_yoloseg(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_yoloseg` (`Main_Final.py:436-510`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    for i, ci in enumerate([0, 4, 8, 11, 14, 18, 21, 24]):
+        _convbnact_inv(f"backbone.{ci}", f"backbone.{ci + 1}",
+                       p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+    for i, (ti, bi) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10)]):
+        _emit(out, f"seg_head.{ti}", _convT_inv(p[f"ConvTranspose_{i}"]))
+        _bn_inv(f"seg_head.{bi}", p[f"Norm_{i}"]["BatchNorm_0"],
+                s[f"Norm_{i}"]["BatchNorm_0"], out)
+    _emit(out, "seg_head.12", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def _pyramid_pooling_inv(prefix: str, p, s, out: Dict, n_branches: int = 4):
+    for i in range(n_branches):
+        _emit(out, f"{prefix}.convs.{i}.1", _conv_inv(p[f"Conv_{i}"]["Conv_0"]))
+        _bn_inv(f"{prefix}.convs.{i}.2", p[f"Norm_{i}"]["BatchNorm_0"],
+                s[f"Norm_{i}"]["BatchNorm_0"], out)
+
+
+def export_reference_pspnet(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_pspnet` (`comne.py:243-299`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    for i, name in enumerate(["conv1", "conv2", "conv3", "conv4"]):
+        _convbnact_inv(f"{name}.0", f"{name}.1",
+                       p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+    _pyramid_pooling_inv("ppm", p["PyramidPooling_0"], s["PyramidPooling_0"], out)
+    _convbnact_inv("final_conv.0", "final_conv.1",
+                   p["ConvBNAct_4"], s["ConvBNAct_4"], out)
+    _emit(out, "final_conv.4", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def _dsconv_inv(prefix: str, p, s, out: Dict):
+    _emit(out, f"{prefix}.depthwise", _conv_inv(p["Conv_0"]["Conv_0"]))
+    _emit(out, f"{prefix}.pointwise", _conv_inv(p["Conv_1"]["Conv_0"]))
+    _bn_inv(f"{prefix}.bn", p["Norm_0"]["BatchNorm_0"], s["Norm_0"]["BatchNorm_0"], out)
+
+
+def export_reference_fastscnn(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_fastscnn` (`comne.py:447-476`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    _convbnact_inv("learning_to_downsample.conv1.0",
+                   "learning_to_downsample.conv1.1",
+                   p["ConvBNAct_0"], s["ConvBNAct_0"], out)
+    ds_prefixes = (
+        ["learning_to_downsample.dsconv1", "learning_to_downsample.dsconv2"]
+        + [f"global_feature_extractor.block1.{j}" for j in range(3)]
+        + [f"global_feature_extractor.block2.{j}" for j in range(3)]
+        + [f"global_feature_extractor.block3.{j}" for j in range(3)]
+    )
+    for i, prefix in enumerate(ds_prefixes):
+        _dsconv_inv(prefix, p[f"DepthwiseSeparableConv_{i}"],
+                    s[f"DepthwiseSeparableConv_{i}"], out)
+    _pyramid_pooling_inv("global_feature_extractor.ppm",
+                         p["PyramidPooling_0"], s["PyramidPooling_0"], out)
+    for i, seq in enumerate(["conv_low", "conv_high"]):
+        _emit(out, f"feature_fusion.{seq}.0", _conv_inv(p[f"Conv_{i}"]["Conv_0"]))
+        _bn_inv(f"feature_fusion.{seq}.1", p[f"Norm_{i}"]["BatchNorm_0"],
+                s[f"Norm_{i}"]["BatchNorm_0"], out)
+    for i, name in enumerate(["conv1", "conv2"]):
+        _dsconv_inv(f"classifier.{name}", p[f"DepthwiseSeparableConv_{11 + i}"],
+                    s[f"DepthwiseSeparableConv_{11 + i}"], out)
+    _emit(out, "classifier.conv3", _conv_inv(p["Conv_2"]["Conv_0"]))
+    return out
+
+
+def _enet_bottleneck_inv(prefix: str, p, s, out: Dict, downsample: bool,
+                         asymmetric: bool):
+    i = 0
+    if downsample:
+        _emit(out, f"{prefix}.conv_down.0", _conv_inv(p["Conv_0"]["Conv_0"]))
+        _bn_inv(f"{prefix}.conv_down.1", p["Norm_0"]["BatchNorm_0"],
+                s["Norm_0"]["BatchNorm_0"], out)
+        i = 1
+    _convbnact_inv(f"{prefix}.conv1.0", f"{prefix}.conv1.1",
+                   p["ConvBNAct_0"], s["ConvBNAct_0"], out)
+    mid = [(f"{prefix}.conv2.0", f"{prefix}.conv2.1")]
+    if asymmetric:
+        mid.append((f"{prefix}.conv2.3", f"{prefix}.conv2.4"))
+    mid.append((f"{prefix}.conv3.0", f"{prefix}.conv3.1"))
+    for conv, bn in mid:
+        _emit(out, conv, _conv_inv(p[f"Conv_{i}"]["Conv_0"]))
+        _bn_inv(bn, p[f"Norm_{i}"]["BatchNorm_0"], s[f"Norm_{i}"]["BatchNorm_0"], out)
+        i += 1
+
+
+def export_reference_enet(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_enet` (`comne.py:560-608`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    _emit(out, "initial.conv", _conv_inv(p["ENetInitialBlock_0"]["Conv_0"]["Conv_0"]))
+    _bn_inv("initial.bn", p["ENetInitialBlock_0"]["Norm_0"]["BatchNorm_0"],
+            s["ENetInitialBlock_0"]["Norm_0"]["BatchNorm_0"], out)
+    blocks = [(f"encoder1.{j}", j == 0, False) for j in range(4)] + [
+        (f"encoder2.{j}", j == 0, j in (3, 7)) for j in range(9)
+    ]
+    for i, (prefix, down, asym) in enumerate(blocks):
+        _enet_bottleneck_inv(prefix, p[f"ENetBottleneck_{i}"],
+                             s[f"ENetBottleneck_{i}"], out, down, asym)
+    for i, (ti, bi) in enumerate([(0, 1), (3, 4)]):
+        _emit(out, f"decoder.{ti}", _convT_inv(p[f"ConvTranspose_{i}"]))
+        _bn_inv(f"decoder.{bi}", p[f"Norm_{i}"]["BatchNorm_0"],
+                s[f"Norm_{i}"]["BatchNorm_0"], out)
+    _emit(out, "decoder.6", _convT_inv(p["ConvTranspose_2"]))
+    return out
+
+
+def export_reference_waternet(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_waternet`
+    (`Extended_Baseline_Comparison.py:396-473`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    wim_p, wim_s = p["WaterIndexModule_0"], s["WaterIndexModule_0"]
+    _emit(out, "water_index.index_conv.0", _conv_inv(wim_p["Conv_0"]["Conv_0"]))
+    _bn_inv("water_index.index_conv.1", wim_p["Norm_0"]["BatchNorm_0"],
+            wim_s["Norm_0"]["BatchNorm_0"], out)
+    _emit(out, "water_index.index_conv.3", _conv_inv(wim_p["Conv_1"]["Conv_0"]))
+    i = 0
+    for seq in ["enc1", "enc2", "enc3", "bottleneck"]:
+        for ci, bi in [(0, 1), (3, 4)]:
+            _convbnact_inv(f"{seq}.{ci}", f"{seq}.{bi}",
+                           p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+            i += 1
+    _emit(out, "water_attention.fc.0",
+          _dense_to_1x1(p["ChannelAttention_0"]["Dense_0"]))
+    _emit(out, "water_attention.fc.2",
+          _dense_to_1x1(p["ChannelAttention_0"]["Dense_1"]))
+    for t, (up, dec) in enumerate([("up3", "dec3"), ("up2", "dec2"), ("up1", "dec1")]):
+        _emit(out, up, _convT_inv(p[f"ConvTranspose_{t}"]))
+        for ci, bi in [(0, 1), (3, 4)]:
+            _convbnact_inv(f"{dec}.{ci}", f"{dec}.{bi}",
+                           p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+            i += 1
+    _emit(out, "outc.0", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def export_reference_mswnet(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_mswnet`
+    (`Extended_Baseline_Comparison.py:497-548`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    layout = [("branch1", 0, 1), ("branch2", 0, 1), ("branch3", 0, 1),
+              ("branch4", 1, 2)]
+    for i, name in enumerate(["enc1", "enc2", "enc3", "enc4"]):
+        mp, ms = p[f"MultiScaleBlock_{i}"], s[f"MultiScaleBlock_{i}"]
+        for j, (branch, ci, bi) in enumerate(layout):
+            _convbnact_inv(f"{name}.{branch}.{ci}", f"{name}.{branch}.{bi}",
+                           mp[f"ConvBNAct_{j}"], ms[f"ConvBNAct_{j}"], out)
+    for j, (ci, bi) in enumerate([(0, 1), (3, 4)]):
+        _convbnact_inv(f"bridge.{ci}", f"bridge.{bi}",
+                       p[f"ConvBNAct_{j}"], s[f"ConvBNAct_{j}"], out)
+    for t, (up, dec) in enumerate([("up4", "dec4"), ("up3", "dec3"),
+                                   ("up2", "dec2"), ("up1", "dec1")]):
+        _emit(out, up, _convT_inv(p[f"ConvTranspose_{t}"]))
+        _convbnact_inv(f"{dec}.0", f"{dec}.1",
+                       p[f"ConvBNAct_{t + 2}"], s[f"ConvBNAct_{t + 2}"], out)
+    _emit(out, "outc.0", _conv_inv(p["Conv_0"]["Conv_0"]))
+    return out
+
+
+def export_reference_hrnet_water(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_hrnet_water`
+    (`Extended_Baseline_Comparison.py:554-616`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    i = 0
+    for seq in ["stem", "hr_branch", "mr_branch", "lr_branch"]:
+        for ci, bi in [(0, 1), (3, 4)]:
+            _convbnact_inv(f"{seq}.{ci}", f"{seq}.{bi}",
+                           p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+            i += 1
+    for j, seq in enumerate(["mr_to_hr", "lr_to_hr"]):
+        _emit(out, f"{seq}.0", _conv_inv(p[f"Conv_{j}"]["Conv_0"]))
+        _bn_inv(f"{seq}.1", p[f"Norm_{j}"]["BatchNorm_0"],
+                s[f"Norm_{j}"]["BatchNorm_0"], out)
+    _convbnact_inv("head.0", "head.1", p["ConvBNAct_8"], s["ConvBNAct_8"], out)
+    _emit(out, "head.4", _conv_inv(p["Conv_2"]["Conv_0"]))
+    return out
+
+
+def export_reference_segformer_lite(variables: Mapping) -> Dict:
+    """Inverse of `import_reference_segformer_lite`
+    (`Extended_Baseline_Comparison.py:667-744`)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    for i in range(4):
+        _convbnact_inv(f"patch_embed{i + 1}.0", f"patch_embed{i + 1}.1",
+                       p[f"ConvBNAct_{i}"], s[f"ConvBNAct_{i}"], out)
+    for i in range(3):
+        esa = p[f"EfficientSelfAttention_{i}"]
+        for j, name in enumerate(["q", "reduction", "kv", "proj"]):
+            _emit(out, f"attn{i + 1}.{name}", _conv_inv(esa[f"Conv_{j}"]["Conv_0"]))
+        ffn = p[f"MixFFN_{i}"]
+        for j, name in enumerate(["fc1", "dwconv", "fc2"]):
+            _emit(out, f"ffn{i + 1}.{name}", _conv_inv(ffn[f"Conv_{j}"]["Conv_0"]))
+    for i, name in enumerate(["linear_c4", "linear_c3", "linear_c2", "linear_c1"]):
+        _emit(out, name, _conv_inv(p[f"Conv_{i}"]["Conv_0"]))
+    _convbnact_inv("linear_fuse.0", "linear_fuse.1",
+                   p["ConvBNAct_4"], s["ConvBNAct_4"], out)
+    _convbnact_inv("head.0", "head.1", p["ConvBNAct_5"], s["ConvBNAct_5"], out)
+    _emit(out, "head.3", _conv_inv(p["Conv_4"]["Conv_0"]))
+    return out
+
+
+# Registry-canonical model name -> exporter (inverse of REFERENCE_IMPORTERS).
+REFERENCE_EXPORTERS = {
+    "UNet": export_reference_unet,
+    "Robust UNet": export_reference_robust_unet,
+    "SegNet": export_reference_segnet,
+    "DeepLabV3+": export_reference_deeplabv3plus,
+    "YOLO-SEG": export_reference_yoloseg,
+    "PSPNet": export_reference_pspnet,
+    "Fast-SCNN": export_reference_fastscnn,
+    "ENet": export_reference_enet,
+    "WaterNet": export_reference_waternet,
+    "MSWNet": export_reference_mswnet,
+    "HRNet-Water": export_reference_hrnet_water,
+    "SegFormer-Lite": export_reference_segformer_lite,
+}
+
+
 def save_reference_pth(variables: Mapping, path: str, arch: str = "unet") -> None:
     """Write coastline variables as a reference-loadable torch `.pth`.
 
-    arch: 'unet' (the production 2-class checkpoint the reference GUI/
-    trainer consume) or 'robust_unet'. Tensors are saved f32."""
+    arch: any registry name or alias ('unet' is the production 2-class
+    checkpoint the reference GUI/trainer consume). Tensors are saved f32."""
     import torch
 
-    exporters = {"unet": export_reference_unet,
-                 "robust_unet": export_reference_robust_unet}
-    key = arch.lower().replace(" ", "_").replace("-", "_")
-    if key not in exporters:
-        raise KeyError(f"no exporter for {arch!r}; known: {sorted(exporters)}")
+    from coastline.models.registry import _ALIASES, _populate
+
+    _populate()
+    name = _ALIASES.get(arch.lower(), arch)
+    if name not in REFERENCE_EXPORTERS:
+        raise KeyError(
+            f"no exporter for {arch!r}; known: {sorted(REFERENCE_EXPORTERS)}"
+        )
     sd = {
         k: (torch.from_numpy(np.ascontiguousarray(np.asarray(v, np.float32)))
             if np.asarray(v).ndim else torch.tensor(v))
-        for k, v in exporters[key](variables).items()
+        for k, v in REFERENCE_EXPORTERS[name](variables).items()
     }
     torch.save(sd, path)
 

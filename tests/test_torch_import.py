@@ -333,49 +333,9 @@ def test_segformer_lite_import_tree_matches_model_init():
         assert conv_paths == init_paths, col
 
 
-@pytest.mark.parametrize("which", ["unet", "robust_unet"])
-def test_export_round_trips_exactly(which, tmp_path):
-    """Export is the exact inverse of import: torch state_dict -> coastline
-    variables -> state_dict reproduces every tensor bit-for-bit (layout
-    transposes and the ConvTranspose flip are pure permutations), and the
-    saved .pth strict-loads back into the reference torch module —
-    coastline-trained weights migrate BACK to the reference tooling."""
-    import torch
-
-    from coastline.utils import torch_import
-
-    if which == "unet":
-        tm = _load_reference_unet_class()(3, 2)
-        variables = torch_import.import_reference_unet(tm.state_dict())
-        exported = torch_import.export_reference_unet(variables)
-    else:
-        tm = _load_reference_module("Main_Final").RobustUNet(3, 1)
-        variables = torch_import.import_reference_robust_unet(tm.state_dict())
-        exported = torch_import.export_reference_robust_unet(variables)
-
-    original = {k: v.numpy() for k, v in tm.state_dict().items()}
-    assert sorted(exported) == sorted(original)
-    for k, v in exported.items():
-        if k.endswith("num_batches_tracked"):
-            continue  # torch metadata, unused at momentum=0.1
-        np.testing.assert_array_equal(np.asarray(v), original[k], err_msg=k)
-
-    path = tmp_path / f"{which}.pth"
-    torch_import.save_reference_pth(variables, str(path), arch=which)
-    tm.load_state_dict(torch.load(str(path)))  # strict=True: full coverage
-
-
-def test_detect_reference_architecture_all_models():
-    """Every reference model's state_dict is identified by signature, and
-    `import_reference_checkpoint` round-trips to a structurally complete
-    tree without the caller naming the architecture."""
-    from coastline.utils.torch_import import (
-        REFERENCE_IMPORTERS,
-        detect_reference_architecture,
-        import_reference_checkpoint,
-    )
-
-    builders = {
+def _reference_builders():
+    """Registry-canonical name -> reference torch model constructor."""
+    return {
         "UNet": lambda: _load_reference_unet_class()(3, 2),
         "Robust UNet": lambda: _load_reference_module("Main_Final").RobustUNet(3, 1),
         "DeepLabV3+": lambda: _load_reference_module("Main_Final").DeepLabV3Plus(1),
@@ -393,6 +353,46 @@ def test_detect_reference_architecture_all_models():
         "SegFormer-Lite": lambda: _load_reference_module(
             "Extended_Baseline_Comparison").SegFormerLite(1),
     }
+
+
+@pytest.mark.parametrize("which", sorted(_reference_builders()))
+def test_export_round_trips_exactly(which, tmp_path):
+    """Export is the exact inverse of import for EVERY architecture: torch
+    state_dict -> coastline variables -> state_dict reproduces each tensor
+    bit-for-bit (layout transposes and the ConvTranspose flip are pure
+    permutations), and the saved .pth strict-loads back into the reference
+    torch module — coastline-trained weights migrate BACK to torch."""
+    import torch
+
+    from coastline.utils import torch_import
+
+    tm = _reference_builders()[which]()
+    _, variables = torch_import.import_reference_checkpoint(tm.state_dict())
+    exported = torch_import.REFERENCE_EXPORTERS[which](variables)
+
+    original = {k: v.numpy() for k, v in tm.state_dict().items()}
+    assert sorted(exported) == sorted(original)
+    for k, v in exported.items():
+        if k.endswith("num_batches_tracked"):
+            continue  # torch metadata, unused at momentum=0.1
+        np.testing.assert_array_equal(np.asarray(v), original[k], err_msg=k)
+
+    path = tmp_path / "export.pth"
+    torch_import.save_reference_pth(variables, str(path), arch=which)
+    tm.load_state_dict(torch.load(str(path)))  # strict=True: full coverage
+
+
+def test_detect_reference_architecture_all_models():
+    """Every reference model's state_dict is identified by signature, and
+    `import_reference_checkpoint` round-trips to a structurally complete
+    tree without the caller naming the architecture."""
+    from coastline.utils.torch_import import (
+        REFERENCE_IMPORTERS,
+        detect_reference_architecture,
+        import_reference_checkpoint,
+    )
+
+    builders = _reference_builders()
     assert sorted(builders) == sorted(REFERENCE_IMPORTERS)
     for expected, build in builders.items():
         sd = build().state_dict()
