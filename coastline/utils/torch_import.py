@@ -1152,7 +1152,7 @@ def save_reference_pth(variables: Mapping, path: str, arch: str = "unet") -> Non
             f"no exporter for {arch!r}; known: {sorted(REFERENCE_EXPORTERS)}"
         )
     sd = {
-        k: (torch.from_numpy(np.ascontiguousarray(np.asarray(v, np.float32)))
+        k: (torch.from_numpy(np.array(v, np.float32))  # copy: owns its memory
             if np.asarray(v).ndim else torch.tensor(v))
         for k, v in REFERENCE_EXPORTERS[name](variables).items()
     }

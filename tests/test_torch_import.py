@@ -382,6 +382,48 @@ def test_export_round_trips_exactly(which, tmp_path):
     tm.load_state_dict(torch.load(str(path)))  # strict=True: full coverage
 
 
+def test_export_cli_full_circle(tmp_path):
+    """coastline Orbax checkpoint -> `cli.export` -> reference-loadable
+    .pth -> strict torch load -> back through the extractor's torch-import
+    intake: the complete round trip a migrating-then-returning user makes."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from coastline.cli.export import main as export_main
+    from coastline.models.unet import UNet
+    from coastline.train.checkpoint import CheckpointManager
+
+    model = UNet(n_classes=2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+    )
+
+    class _State:
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+
+    ckpt_dir = tmp_path / "models"
+    mgr = CheckpointManager(str(ckpt_dir))
+    assert mgr.maybe_save_best(1, _State, iou=0.9)
+    mgr.close()
+
+    out = tmp_path / "best_water_segmentation_model.pth"
+    export_main(["--checkpoint-dir", str(ckpt_dir), "--out", str(out),
+                 "--image-size", "32"])
+
+    tm = _load_reference_unet_class()(3, 2)
+    tm.load_state_dict(torch.load(str(out)))  # strict: reference-compatible
+
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(torch_checkpoint=str(out), image_size=32)
+    leaf = jax.tree_util.tree_leaves(ex.variables["params"])[0]
+    orig = jax.tree_util.tree_leaves(variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(orig))
+
+
 def test_detect_reference_architecture_all_models():
     """Every reference model's state_dict is identified by signature, and
     `import_reference_checkpoint` round-trips to a structurally complete
