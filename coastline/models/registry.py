@@ -68,9 +68,16 @@ def available_models():
     return sorted(_REGISTRY)
 
 
-def create_model(name: str, **kwargs):
+def canonical_name(name: str) -> str:
+    """Resolve a registry name or alias to its canonical display name.
+
+    Unknown names pass through unchanged (callers decide how to fail)."""
     _populate()
-    canonical = _ALIASES.get(name.lower(), name)
+    return _ALIASES.get(name.lower(), name)
+
+
+def create_model(name: str, **kwargs):
+    canonical = canonical_name(name)
     if canonical not in _REGISTRY:
         raise KeyError(f"unknown model {name!r}; available: {available_models()}")
     return _REGISTRY[canonical](**kwargs)

@@ -745,10 +745,9 @@ def import_reference_checkpoint(state_dict: Mapping, arch: str = None):
     if arch is None:
         name = detect_reference_architecture(state_dict)
     else:
-        from coastline.models.registry import _ALIASES, _populate
+        from coastline.models.registry import canonical_name
 
-        _populate()
-        name = _ALIASES.get(arch.lower(), arch)
+        name = canonical_name(arch)
         if name not in REFERENCE_IMPORTERS:
             raise KeyError(
                 f"no importer for {arch!r}; known: {sorted(REFERENCE_IMPORTERS)}"
@@ -1143,10 +1142,9 @@ def save_reference_pth(variables: Mapping, path: str, arch: str = "unet") -> Non
     checkpoint the reference GUI/trainer consume). Tensors are saved f32."""
     import torch
 
-    from coastline.models.registry import _ALIASES, _populate
+    from coastline.models.registry import canonical_name
 
-    _populate()
-    name = _ALIASES.get(arch.lower(), arch)
+    name = canonical_name(arch)
     if name not in REFERENCE_EXPORTERS:
         raise KeyError(
             f"no exporter for {arch!r}; known: {sorted(REFERENCE_EXPORTERS)}"
