@@ -1,0 +1,421 @@
+"""Int8 post-training quantization for RobustUNet inference (TPU-native).
+
+The reference serves fp32 torch (`/root/reference/predict_coastline.py`);
+this module is a deployment-grade speed path beyond reference parity.
+Inference on one v5e is HBM-bandwidth-bound at ~56-58% of peak
+(docs/TRAIN_ROOFLINE.md): activations in int8 halve the remaining traffic
+and the MXU runs int8 matmuls at 2x bf16 throughput (394 TOPS). Probed on
+the real chip before this was built (`scripts/probe_int8.py`): a deep
+3x3 conv (64², C=512) runs 1.89x faster as s8xs8->s32, and the full-res
+C=64 conv is unchanged (it is lane-padding-bound, so quantizing it costs
+nothing).
+
+Design:
+  * Eval-only. BatchNorm is folded into every conv (weights + bias in f32)
+    before quantization; ConvTranspose has no BN and keeps its bias.
+  * Weights: symmetric per-output-channel int8 (`step = absmax/127`).
+  * Activations: symmetric per-tensor int8 at named SITES (conv inputs and
+    the tensors re-read by the CBAM/gate epilogues). Scales come from a
+    calibration pass that records per-site absmax on representative images.
+  * One forward implementation serves three modes:
+      - float mode (`scales=None`): bf16 math on the folded params. This is
+        the calibration recorder AND the correctness anchor — it must match
+        `RobustUNet.apply` (tests/test_quant.py).
+      - int8 mode: convs with both channel dims >= 64 run s8xs8->s32 with
+        the dequant/requant epilogue fused by XLA; small convs (RGB stem,
+        psi/spatial-attention heads) read int8 and compute in bf16.
+  * Everything is functional and jit-friendly: static shapes, no Python
+    branching on traced values.
+
+The quantized path is exact RobustUNet semantics otherwise: the CBAM
+channel gate pools the conv2 output, the spatial gate reduces the gated
+tensor (computed from the int8 representation and the f32 gate vector),
+and the residual add + ReLU requantizes straight to the next block's input
+scale — the big activations only ever cross HBM as int8.
+
+Reference architecture being quantized: `/root/reference/Main_Final.py:226-321`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_EPS = 1e-5  # BatchNorm epsilon (torch default, matches ops.primitives)
+
+
+# ---------------------------------------------------------------------------
+# BN folding
+# ---------------------------------------------------------------------------
+
+
+def _bn_affine(params, stats):
+    """Per-channel (inv, shift): y_bn = y * inv + shift (eval-mode BN)."""
+    scale = params["BatchNorm_0"]["scale"]
+    bias = params["BatchNorm_0"]["bias"]
+    mean = stats["BatchNorm_0"]["mean"]
+    var = stats["BatchNorm_0"]["var"]
+    inv = scale / np.sqrt(np.asarray(var, np.float64) + _EPS)
+    inv = np.asarray(inv, np.float32)
+    shift = np.asarray(bias - mean * inv, np.float32)
+    return inv, shift
+
+
+def _fold(conv_params, norm_params=None, norm_stats=None,
+          inv=None, shift=None):
+    """Fold an eval-mode BN affine into conv weight/bias -> (w f32, b f32)."""
+    w = np.asarray(conv_params["Conv_0"]["kernel"], np.float32)
+    b0 = np.asarray(conv_params["Conv_0"].get("bias", np.zeros(w.shape[-1])),
+                    np.float32)
+    if inv is None:
+        if norm_params is None:
+            return w, b0
+        inv, shift = _bn_affine(norm_params, norm_stats)
+    return w * inv[None, None, None, :], b0 * inv + shift
+
+
+def fold_robust_unet(variables) -> Dict:
+    """Fold all BatchNorms of a trained RobustUNet into conv weights.
+
+    Returns a flat dict of layer -> (w, b) numpy f32 arrays plus the
+    attention parameters, mirroring the structure the forward consumes.
+    """
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {}
+
+    for i in range(9):
+        rb, rbs = p[f"ResidualBlock_{i}"], s[f"ResidualBlock_{i}"]
+        has_short = "Conv_2" in rb  # 3 convs => projection shortcut exists
+        if has_short:
+            short = _fold(rb["Conv_0"], rb["Norm_0"], rbs["Norm_0"])
+            c1 = _fold(rb["Conv_1"], rb["Norm_1"], rbs["Norm_1"])
+            c2 = _fold(rb["Conv_2"], rb["Norm_2"], rbs["Norm_2"])
+        else:
+            short = None
+            c1 = _fold(rb["Conv_0"], rb["Norm_0"], rbs["Norm_0"])
+            c2 = _fold(rb["Conv_1"], rb["Norm_1"], rbs["Norm_1"])
+        out[f"rb{i}"] = {
+            "short": short, "c1": c1, "c2": c2,
+            "fc1": np.asarray(rb["ChannelAttention_0"]["Dense_0"]["kernel"],
+                              np.float32),
+            "fc2": np.asarray(rb["ChannelAttention_0"]["Dense_1"]["kernel"],
+                              np.float32),
+            "sa": np.asarray(rb["SpatialAttention_0"]["Conv_0"]["Conv_0"]["kernel"],
+                             np.float32),
+        }
+
+    db, dbs = p["DilatedBlock_0"], s["DilatedBlock_0"]
+    inv, shift = _bn_affine(db["Norm_0"], dbs["Norm_0"])
+    f4 = inv.shape[0] // 4
+    out["db"] = {
+        f"b{k}": _fold(db[f"Conv_{k}"],
+                       inv=inv[k * f4:(k + 1) * f4],
+                       shift=shift[k * f4:(k + 1) * f4])
+        for k in range(4)
+    }
+
+    for i in range(4):
+        ag, ags = p[f"AttentionGate_{i}"], s[f"AttentionGate_{i}"]
+        out[f"ag{i}"] = {
+            "g": _fold(ag["Conv_0"], ag["Norm_0"], ags["Norm_0"]),
+            "x": _fold(ag["Conv_1"], ag["Norm_1"], ags["Norm_1"]),
+            "psi": _fold(ag["Conv_2"], ag["Norm_2"], ags["Norm_2"]),
+        }
+        ct = p[f"ConvTranspose_{i}"]
+        out[f"up{i}"] = (np.asarray(ct["kernel"], np.float32),
+                         np.asarray(ct["bias"], np.float32))
+
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Weight quantization
+# ---------------------------------------------------------------------------
+
+
+def _quant_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-channel int8: w ~= wq * step[None,None,None,:]."""
+    absmax = np.abs(w).reshape(-1, w.shape[-1]).max(axis=0)
+    step = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    wq = np.clip(np.round(w / step), -127, 127).astype(np.int8)
+    return wq, step
+
+
+def quantize_folded(folded: Dict) -> Dict:
+    """Add (wq, step) int8 views beside every conv in a folded tree."""
+
+    def q(entry):
+        if entry is None:
+            return None
+        w, b = entry
+        wq, step = _quant_w(w)
+        return {"w": w, "b": b, "wq": wq, "wstep": step}
+
+    out = {}
+    for k, v in folded.items():
+        if isinstance(v, dict):
+            out[k] = {kk: (q(vv) if isinstance(vv, tuple) or vv is None
+                           else vv) for kk, vv in v.items()}
+        else:
+            out[k] = q(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward (shared float / int8 implementation)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _QT:
+    """A tensor either in float form or as (int8 codes, dequant step)."""
+
+    q: jnp.ndarray
+    step: Optional[jnp.ndarray] = None  # None => q is float
+
+    def f(self, dtype=jnp.bfloat16):
+        if self.step is None:
+            return self.q.astype(dtype)
+        return self.q.astype(dtype) * self.step.astype(dtype)
+
+    def f32(self):
+        if self.step is None:
+            return self.q.astype(jnp.float32)
+        return self.q.astype(jnp.float32) * self.step
+
+
+class _Ctx:
+    """Carries mode (float-calibration vs int8) + scales + absmax records."""
+
+    def __init__(self, scales: Optional[Dict[str, float]], collect=None,
+                 dtype=jnp.bfloat16):
+        self.scales = scales
+        self.collect = collect  # dict to fill with traced absmax scalars
+        self.dtype = dtype  # float-path compute dtype (f32 for anchor tests)
+
+    @property
+    def quant(self):
+        return self.scales is not None
+
+    def site(self, name: str, t: jnp.ndarray) -> _QT:
+        """Quantize float tensor `t` at a named site (or record its range)."""
+        if self.collect is not None:
+            m = jnp.max(jnp.abs(t.astype(jnp.float32)))
+            prev = self.collect.get(name)
+            self.collect[name] = m if prev is None else jnp.maximum(prev, m)
+        if not self.quant:
+            return _QT(t.astype(self.dtype))
+        step = jnp.float32(self.scales[name] / 127.0)
+        q = jnp.clip(jnp.round(t.astype(jnp.float32) / step), -127, 127)
+        return _QT(q.astype(jnp.int8), step)
+
+
+def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
+          lhs_dilation=None) -> jnp.ndarray:
+    """Conv on a site tensor -> float (f32) output with bias, epilogue-ready.
+
+    int8 path when the context is quantized, the input is int8, and both
+    channel dims are >=64 (smaller convs gain nothing on the MXU; they
+    still read the int8 input, so traffic stays halved).
+    """
+    if isinstance(entry, dict):
+        w, b, wq, wstep = entry["w"], entry["b"], entry["wq"], entry["wstep"]
+    else:
+        w, b = entry
+        wq = wstep = None
+    kh, kw, cin, cout = w.shape
+    pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) \
+        else padding
+    dn = ("NHWC", "HWIO", "NHWC")
+    use_int8 = (ctx.quant and x.step is not None and wq is not None
+                and min(cin, cout) >= 64)
+    if use_int8:
+        acc = lax.conv_general_dilated(
+            x.q, jnp.asarray(wq), (stride, stride), pad,
+            lhs_dilation=lhs_dilation, rhs_dilation=(dilation, dilation),
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (x.step * jnp.asarray(wstep)) + b
+    y = lax.conv_general_dilated(
+        x.f(ctx.dtype), jnp.asarray(w, ctx.dtype), (stride, stride), pad,
+        lhs_dilation=lhs_dilation, rhs_dilation=(dilation, dilation),
+        dimension_numbers=dn)
+    return y.astype(jnp.float32) + b
+
+
+def _maxpool(x: _QT) -> _QT:
+    """2x2/s2 max pool directly on the codes (monotonic under dequant)."""
+    init = jnp.int8(-128) if x.step is not None else -jnp.inf
+    y = lax.reduce_window(x.q, init, lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                          ((0, 0), (0, 0), (0, 0), (0, 0)))
+    return _QT(y, x.step)
+
+
+def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
+    if p["short"] is not None:
+        short = ctx.site(f"{name}.short", _conv(ctx, x, p["short"]))
+    else:
+        short = x
+    t1 = nn_relu(_conv(ctx, x, p["c1"], padding=1))
+    t1 = ctx.site(f"{name}.t1", t1)
+    mid = ctx.site(f"{name}.mid", _conv(ctx, t1, p["c2"], padding=1))
+
+    # CBAM channel gate: pooled vectors -> shared MLP (f32, tiny)
+    midf = mid.f32()
+    avg = jnp.mean(midf, axis=(1, 2))
+    mx = jnp.max(midf, axis=(1, 2))
+    fc1 = jnp.asarray(p["fc1"], jnp.float32)
+    fc2 = jnp.asarray(p["fc2"], jnp.float32)
+    gate = jax.nn.relu(avg @ fc1) @ fc2 + jax.nn.relu(mx @ fc1) @ fc2
+    gc = jax.nn.sigmoid(gate)  # (N, C)
+
+    # CBAM spatial gate on the channel-gated tensor (read int8 once more)
+    gated = midf * gc[:, None, None, :]
+    att = jnp.stack([jnp.mean(gated, axis=-1), jnp.max(gated, axis=-1)],
+                    axis=-1)  # (N, H, W, 2)
+    sa = lax.conv_general_dilated(
+        att.astype(ctx.dtype), jnp.asarray(p["sa"], ctx.dtype),
+        (1, 1), ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    gs = jax.nn.sigmoid(sa.astype(jnp.float32))  # (N, H, W, 1)
+
+    out = jax.nn.relu(midf * gc[:, None, None, :] * gs + short.f32())
+    return ctx.site(f"{name}.out", out)
+
+
+def nn_relu(x):
+    return jax.nn.relu(x)
+
+
+def _attention_gate(ctx: _Ctx, name: str, g: _QT, x: _QT, p) -> _QT:
+    g1 = _conv(ctx, g, p["g"])
+    x1 = _conv(ctx, x, p["x"])
+    psi = ctx.site(f"{name}.psi", nn_relu(g1 + x1))
+    psi = _conv(ctx, psi, p["psi"])
+    gate = jax.nn.sigmoid(psi)  # f32, (N, H, W, 1)
+    return ctx.site(f"{name}.out", x.f32() * gate)
+
+
+def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16):
+    """Shared forward. scales=None -> float/calibration mode."""
+    ctx = _Ctx(scales, collect, dtype)
+    xin = ctx.site("input", x.astype(jnp.float32))
+
+    enc = [None] * 5
+    cur = xin
+    for i in range(4):
+        cur = _residual_block(ctx, f"rb{i}", cur, qp[f"rb{i}"])
+        enc[i] = cur
+        cur = _maxpool(cur)
+
+    # Bottleneck: 4-branch dilated block -> BN(folded) -> ReLU -> RB4
+    branches = [
+        _conv(ctx, cur, qp["db"]["b0"]),
+        _conv(ctx, cur, qp["db"]["b1"], padding=1, dilation=1),
+        _conv(ctx, cur, qp["db"]["b2"], padding=2, dilation=2),
+        _conv(ctx, cur, qp["db"]["b3"], padding=4, dilation=4),
+    ]
+    cur = ctx.site("db.out", nn_relu(jnp.concatenate(branches, axis=-1)))
+    cur = _residual_block(ctx, "rb4", cur, qp["rb4"])
+
+    for i in range(4):
+        up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
+                   padding=((1, 1), (1, 1)))
+        up = ctx.site(f"up{i}.out", up)
+        skip = _attention_gate(ctx, f"ag{i}", up, enc[3 - i], qp[f"ag{i}"])
+        cat = ctx.site(f"cat{i}", jnp.concatenate([skip.f32(), up.f32()],
+                                                  axis=-1))
+        cur = _residual_block(ctx, f"rb{5 + i}", cat, qp[f"rb{5 + i}"])
+
+    logits = _conv(ctx, cur, qp["head"])
+    return logits
+
+
+def float_forward(folded, x, return_logits: bool = False,
+                  dtype=jnp.bfloat16):
+    """Float forward on BN-folded params — must match RobustUNet.apply
+    (at dtype=f32 the agreement is ~1e-4; see tests/test_quant.py)."""
+    logits = _forward(folded, None, x, dtype=dtype)
+    return logits if return_logits else jax.nn.sigmoid(logits)
+
+
+def int8_forward(qparams, scales, x, return_logits: bool = False):
+    """int8-activation forward; `scales` maps site name -> absmax (float)."""
+    logits = _forward(qparams, scales, x)
+    return logits if return_logits else jax.nn.sigmoid(logits)
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+
+def calibration_sites(folded, example: jnp.ndarray):
+    """Trace the float forward once to enumerate site names (static)."""
+    collect: Dict[str, jnp.ndarray] = {}
+    jax.eval_shape(lambda xx: (_forward(folded, None, xx, collect), None),
+                   example)
+    return sorted(collect.keys())
+
+
+def calibrate(folded, images, batch_size: int = 2) -> Dict[str, float]:
+    """Run the float forward over calibration images, return absmax/site.
+
+    `images` is (N, H, W, 3) float32 (already normalized, i.e. exactly what
+    the production `apply` receives).
+    """
+
+    # folded is a jit ARGUMENT: captured param trees become HLO constants
+    # and remote compiles hang (CLAUDE.md).
+    @jax.jit
+    def run(fold, xx):
+        collect: Dict[str, jnp.ndarray] = {}
+        _forward(fold, None, xx, collect)
+        return collect
+
+    out: Dict[str, float] = {}
+    n = images.shape[0]
+    for i in range(0, n, batch_size):
+        chunk = images[i:i + batch_size]
+        if chunk.shape[0] != batch_size:  # keep one compiled shape
+            pad = batch_size - chunk.shape[0]
+            chunk = jnp.concatenate([chunk, chunk[:pad]], axis=0)
+        stats = jax.device_get(run(folded, jnp.asarray(chunk, jnp.float32)))
+        for k, v in stats.items():
+            out[k] = max(out.get(k, 0.0), float(v))
+    # Never leave a degenerate scale (all-zero activation on the calib set)
+    return {k: (v if v > 0 else 1.0) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# High-level wrapper
+# ---------------------------------------------------------------------------
+
+
+class QuantizedRobustUNet:
+    """PTQ int8 RobustUNet: build once from trained variables, then call.
+
+    >>> q = QuantizedRobustUNet.from_variables(variables, calib_images)
+    >>> probs = q(x)            # jitted int8 forward
+    """
+
+    def __init__(self, qparams, scales):
+        self.qparams = qparams
+        self.scales = scales
+        # scales are scalar HLO constants (fine); qparams stay a traced
+        # argument — captured trees hang remote compiles (CLAUDE.md).
+        self._fn = jax.jit(lambda p, x: int8_forward(p, scales, x))
+
+    @classmethod
+    def from_variables(cls, variables, calib_images, batch_size: int = 2):
+        folded = fold_robust_unet(variables)
+        scales = calibrate(folded, calib_images, batch_size)
+        return cls(quantize_folded(folded), scales)
+
+    def __call__(self, x):
+        return self._fn(self.qparams, jnp.asarray(x, jnp.float32))

@@ -1,0 +1,111 @@
+"""Int8 PTQ engine tests (coastline/infer/quant.py).
+
+Three layers of evidence, smallest-first:
+  1. BN-folding + rewritten forward are EXACT: the f32 float path matches
+     `RobustUNet.apply` to float tolerance (the engine re-implements the
+     architecture; this pins every fold/epilogue/gate against the model).
+  2. The int8 graph runs and its weight quantization round-trips within the
+     per-channel step bound.
+  3. End-to-end int8-vs-float mask agreement on a TRAINED model is gated by
+     scripts/eval_quant_accuracy.py on-chip (artifacts/quant_accuracy.json,
+     asserted by test_quant_accuracy_artifact below when present).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coastline.infer import quant
+from coastline.models.robust_unet import RobustUNet
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    m = RobustUNet(dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    v = m.init({"params": rng, "dropout": rng}, x)
+    # Non-trivial running stats: one train-mode pass updates them.
+    _, upd = m.apply(v, x, train=True, mutable=["batch_stats"],
+                     rngs={"dropout": rng})
+    return m, {"params": v["params"], "batch_stats": upd["batch_stats"]}, x
+
+
+def test_folded_float_forward_matches_apply(small_model):
+    m, v, x = small_model
+    ref = m.apply(v, x, train=False)
+    folded = quant.fold_robust_unet(v)
+    got = jax.jit(lambda f, xx: quant.float_forward(f, xx, dtype=jnp.float32))(
+        folded, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4)
+
+
+def test_folded_float_logits_match(small_model):
+    m, v, x = small_model
+    ref = m.apply(v, x, train=False, return_logits=True)
+    folded = quant.fold_robust_unet(v)
+    got = jax.jit(lambda f, xx: quant.float_forward(
+        f, xx, return_logits=True, dtype=jnp.float32))(folded, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-3)
+
+
+def test_weight_quantization_roundtrip(small_model):
+    _, v, _ = small_model
+    folded = quant.fold_robust_unet(v)
+    qp = quant.quantize_folded(folded)
+    w, _ = folded["rb2"]["c2"]
+    entry = qp["rb2"]["c2"]
+    err = np.abs(w - entry["wq"].astype(np.float32) * entry["wstep"])
+    # symmetric rounding: error bounded by half a step per channel
+    assert (err <= 0.5 * entry["wstep"][None, None, None, :] + 1e-8).all()
+
+
+def test_int8_forward_runs_and_agrees(small_model):
+    m, v, x = small_model
+    ref = m.apply(v, x, train=False)
+    folded = quant.fold_robust_unet(v)
+    scales = quant.calibrate(folded, x, batch_size=2)
+    qp = quant.quantize_folded(folded)
+    got = jax.jit(lambda p, xx: quant.int8_forward(p, scales, xx))(qp, x)
+    assert got.shape == ref.shape and got.dtype == jnp.float32
+    # Random-init nets are the PTQ worst case (probs pile up at the sigmoid's
+    # steepest point); still demand high mask agreement + bounded prob error.
+    agree = float((np.asarray(ref > 0.5) == np.asarray(got > 0.5)).mean())
+    assert agree > 0.93
+    assert float(jnp.abs(ref - got).mean()) < 0.05
+
+
+def test_calibration_sites_cover_every_scale_lookup(small_model):
+    _, v, x = small_model
+    folded = quant.fold_robust_unet(v)
+    sites = quant.calibration_sites(folded, x)
+    scales = quant.calibrate(folded, x[:2], batch_size=2)
+    assert sorted(scales) == sites
+    assert all(s > 0 for s in scales.values())
+
+
+def test_quantized_wrapper(small_model):
+    _, v, x = small_model
+    q = quant.QuantizedRobustUNet.from_variables(v, x, batch_size=2)
+    y = q(x)
+    assert y.shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "quant_accuracy.json")
+
+
+@pytest.mark.skipif(not os.path.exists(ART), reason="on-chip artifact absent")
+def test_quant_accuracy_artifact():
+    """Gate the committed on-chip accuracy artifact: a TRAINED model must
+    keep IoU-vs-labels within 0.002 of the bf16 path and the int8/bf16 mask
+    agreement IoU above 0.995."""
+    with open(ART) as f:
+        art = json.load(f)
+    assert art["iou_drop"] <= 0.002, art
+    assert art["mask_agreement_iou"] >= 0.995, art
