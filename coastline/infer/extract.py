@@ -89,6 +89,43 @@ class CoastlineExtractor:
 
         self._predict = _predict
 
+    def quantize(self, calib_images_u8: Optional[np.ndarray] = None,
+                 batch_size: int = 2):
+        """Switch the predict path to int8 PTQ (infer/quant.py).
+
+        Halves activation HBM traffic and runs the deep convs on the MXU's
+        int8 path — a deployment speed mode the fp32-torch reference has no
+        analogue of. `calib_images_u8` is (N, image_size, image_size, 3)
+        uint8 representative data; defaults to synthetic coastal scenes.
+        Returns self. Downstream artifacts are identical in structure; mask
+        accuracy is gated in tests/test_quant.py + artifacts/quant_accuracy.json.
+        """
+        from coastline.infer.quant import QuantizedModel, int8_forward
+
+        s = self.image_size
+        if calib_images_u8 is None:
+            from coastline.data.synthetic import make_scene
+
+            rng = np.random.default_rng(0)
+            calib_images_u8 = np.stack(
+                [make_scene(rng, s)[0] for _ in range(4)])
+        mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
+        calib = (jnp.asarray(calib_images_u8, jnp.float32) / 255.0 - mean) / std
+        qm = QuantizedModel.from_variables(
+            self.variables, calib, batch_size=batch_size, arch="unet")
+        self.quantized = qm
+
+        @jax.jit
+        def _predict_q(qparams, x_u8):
+            x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+            logits = int8_forward(qparams, qm.scales, x, arch="unet")
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        # keep the (params, batch_stats, x) call signature of the fp path
+        self._predict = lambda params, batch_stats, x_u8: _predict_q(
+            qm.qparams, x_u8)
+        return self
+
     # ------------------------------------------------------------------ io
     def _load_image(self, image_path: str) -> Image.Image:
         if image_path.lower().endswith((".tif", ".tiff")):

@@ -135,6 +135,28 @@ def fold_robust_unet(variables) -> Dict:
     return out
 
 
+def fold_unet(variables) -> Dict:
+    """Fold BNs of the production 2-class UNet (models/unet.py — the
+    reference's deployment artifact, `predict_coastline.py:255-334`)."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {}
+    for i in range(9):
+        dc, dcs = p[f"DoubleConv_{i}"], s[f"DoubleConv_{i}"]
+        out[f"dc{i}"] = {
+            "c1": _fold(dc["ConvBNAct_0"]["Conv_0"], dc["ConvBNAct_0"]["Norm_0"],
+                        dcs["ConvBNAct_0"]["Norm_0"]),
+            "c2": _fold(dc["ConvBNAct_1"]["Conv_0"], dc["ConvBNAct_1"]["Norm_0"],
+                        dcs["ConvBNAct_1"]["Norm_0"]),
+        }
+    for i in range(4):
+        ct = p[f"ConvTranspose_{i}"]
+        out[f"up{i}"] = (np.asarray(ct["kernel"], np.float32),
+                         np.asarray(ct["bias"], np.float32))
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Weight quantization
 # ---------------------------------------------------------------------------
@@ -301,8 +323,34 @@ def _attention_gate(ctx: _Ctx, name: str, g: _QT, x: _QT, p) -> _QT:
     return ctx.site(f"{name}.out", x.f32() * gate)
 
 
+def _double_conv(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
+    t1 = ctx.site(f"{name}.t1", nn_relu(_conv(ctx, x, p["c1"], padding=1)))
+    return ctx.site(f"{name}.out", nn_relu(_conv(ctx, t1, p["c2"], padding=1)))
+
+
+def _forward_unet(qp, scales, x, collect=None, dtype=jnp.bfloat16):
+    """Plain-UNet forward on folded params (logits out, torch concat order
+    [up, skip] — models/unet.py)."""
+    ctx = _Ctx(scales, collect, dtype)
+    cur = ctx.site("input", x.astype(jnp.float32))
+    enc = []
+    for i in range(4):
+        cur = _double_conv(ctx, f"dc{i}", cur, qp[f"dc{i}"])
+        enc.append(cur)
+        cur = _maxpool(cur)
+    cur = _double_conv(ctx, "dc4", cur, qp["dc4"])
+    for i in range(4):
+        up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
+                   padding=((1, 1), (1, 1)))
+        up = ctx.site(f"up{i}.out", up)
+        cat = ctx.site(f"cat{i}", jnp.concatenate(
+            [up.f32(), enc[3 - i].f32()], axis=-1))
+        cur = _double_conv(ctx, f"dc{5 + i}", cat, qp[f"dc{5 + i}"])
+    return _conv(ctx, cur, qp["head"])
+
+
 def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16):
-    """Shared forward. scales=None -> float/calibration mode."""
+    """Shared RobustUNet forward. scales=None -> float/calibration mode."""
     ctx = _Ctx(scales, collect, dtype)
     xin = ctx.site("input", x.astype(jnp.float32))
 
@@ -336,18 +384,28 @@ def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16):
     return logits
 
 
+# arch name -> (fold fn, forward fn, sigmoid head?)
+ARCHS = {
+    "robust_unet": (fold_robust_unet, _forward, True),
+    "unet": (fold_unet, _forward_unet, False),
+}
+
+
 def float_forward(folded, x, return_logits: bool = False,
-                  dtype=jnp.bfloat16):
-    """Float forward on BN-folded params — must match RobustUNet.apply
-    (at dtype=f32 the agreement is ~1e-4; see tests/test_quant.py)."""
-    logits = _forward(folded, None, x, dtype=dtype)
-    return logits if return_logits else jax.nn.sigmoid(logits)
+                  dtype=jnp.bfloat16, arch: str = "robust_unet"):
+    """Float forward on BN-folded params — must match `model.apply`
+    (at dtype=f32 the agreement is ~1e-6; see tests/test_quant.py)."""
+    _, fwd, sig = ARCHS[arch]
+    logits = fwd(folded, None, x, dtype=dtype)
+    return jax.nn.sigmoid(logits) if sig and not return_logits else logits
 
 
-def int8_forward(qparams, scales, x, return_logits: bool = False):
+def int8_forward(qparams, scales, x, return_logits: bool = False,
+                 arch: str = "robust_unet"):
     """int8-activation forward; `scales` maps site name -> absmax (float)."""
-    logits = _forward(qparams, scales, x)
-    return logits if return_logits else jax.nn.sigmoid(logits)
+    _, fwd, sig = ARCHS[arch]
+    logits = fwd(qparams, scales, x)
+    return jax.nn.sigmoid(logits) if sig and not return_logits else logits
 
 
 # ---------------------------------------------------------------------------
@@ -355,27 +413,32 @@ def int8_forward(qparams, scales, x, return_logits: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def calibration_sites(folded, example: jnp.ndarray):
+def calibration_sites(folded, example: jnp.ndarray,
+                      arch: str = "robust_unet"):
     """Trace the float forward once to enumerate site names (static)."""
+    fwd = ARCHS[arch][1]
     collect: Dict[str, jnp.ndarray] = {}
-    jax.eval_shape(lambda xx: (_forward(folded, None, xx, collect), None),
+    jax.eval_shape(lambda xx: (fwd(folded, None, xx, collect), None),
                    example)
     return sorted(collect.keys())
 
 
-def calibrate(folded, images, batch_size: int = 2) -> Dict[str, float]:
+def calibrate(folded, images, batch_size: int = 2,
+              arch: str = "robust_unet") -> Dict[str, float]:
     """Run the float forward over calibration images, return absmax/site.
 
     `images` is (N, H, W, 3) float32 (already normalized, i.e. exactly what
     the production `apply` receives).
     """
 
+    fwd = ARCHS[arch][1]
+
     # folded is a jit ARGUMENT: captured param trees become HLO constants
     # and remote compiles hang (CLAUDE.md).
     @jax.jit
     def run(fold, xx):
         collect: Dict[str, jnp.ndarray] = {}
-        _forward(fold, None, xx, collect)
+        fwd(fold, None, xx, collect)
         return collect
 
     out: Dict[str, float] = {}
@@ -397,25 +460,37 @@ def calibrate(folded, images, batch_size: int = 2) -> Dict[str, float]:
 # ---------------------------------------------------------------------------
 
 
-class QuantizedRobustUNet:
-    """PTQ int8 RobustUNet: build once from trained variables, then call.
+class QuantizedModel:
+    """PTQ int8 model: build once from trained variables, then call.
 
-    >>> q = QuantizedRobustUNet.from_variables(variables, calib_images)
+    >>> q = QuantizedModel.from_variables(variables, calib_images,
+    ...                                   arch="robust_unet")
     >>> probs = q(x)            # jitted int8 forward
     """
 
-    def __init__(self, qparams, scales):
+    def __init__(self, qparams, scales, arch: str = "robust_unet"):
         self.qparams = qparams
         self.scales = scales
+        self.arch = arch
         # scales are scalar HLO constants (fine); qparams stay a traced
         # argument — captured trees hang remote compiles (CLAUDE.md).
-        self._fn = jax.jit(lambda p, x: int8_forward(p, scales, x))
+        self._fn = jax.jit(lambda p, x: int8_forward(p, scales, x, arch=arch))
 
     @classmethod
-    def from_variables(cls, variables, calib_images, batch_size: int = 2):
-        folded = fold_robust_unet(variables)
-        scales = calibrate(folded, calib_images, batch_size)
-        return cls(quantize_folded(folded), scales)
+    def from_variables(cls, variables, calib_images, batch_size: int = 2,
+                       arch: str = "robust_unet"):
+        folded = ARCHS[arch][0](variables)
+        scales = calibrate(folded, calib_images, batch_size, arch=arch)
+        return cls(quantize_folded(folded), scales, arch)
 
     def __call__(self, x):
         return self._fn(self.qparams, jnp.asarray(x, jnp.float32))
+
+
+class QuantizedRobustUNet(QuantizedModel):
+    """Back-compat alias for the flagship."""
+
+    @classmethod
+    def from_variables(cls, variables, calib_images, batch_size: int = 2):
+        return QuantizedModel.from_variables(variables, calib_images,
+                                             batch_size, arch="robust_unet")

@@ -96,6 +96,60 @@ def test_quantized_wrapper(small_model):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.fixture(scope="module")
+def small_unet():
+    from coastline.models.unet import UNet
+
+    m = UNet(n_classes=2, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    v = m.init({"params": rng, "dropout": rng}, x)
+    _, upd = m.apply(v, x, train=True, mutable=["batch_stats"],
+                     rngs={"dropout": rng})
+    return m, {"params": v["params"], "batch_stats": upd["batch_stats"]}, x
+
+
+def test_unet_folded_float_forward_matches_apply(small_unet):
+    m, v, x = small_unet
+    ref = m.apply(v, x, train=False)  # logits (2-class CE head)
+    folded = quant.fold_unet(v)
+    got = jax.jit(lambda f, xx: quant.float_forward(
+        f, xx, dtype=jnp.float32, arch="unet"))(folded, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-3)
+
+
+def test_unet_int8_argmax_agrees(small_unet):
+    m, v, x = small_unet
+    ref = np.argmax(np.asarray(m.apply(v, x, train=False)), axis=-1)
+    q = quant.QuantizedModel.from_variables(v, x, batch_size=2, arch="unet")
+    got = np.argmax(np.asarray(q(x)), axis=-1)
+    assert (ref == got).mean() > 0.93  # random-init worst case
+
+
+def test_extractor_quantize_mode(tmp_path):
+    """CoastlineExtractor.quantize() keeps the whole artifact pipeline
+    working on the int8 predict path."""
+    from PIL import Image
+
+    from coastline.data.synthetic import make_scene
+    from coastline.infer.extract import CoastlineExtractor
+
+    rng = np.random.default_rng(0)
+    img, _, _ = make_scene(rng, 64)
+    path = tmp_path / "scene.png"
+    Image.fromarray(img).save(path)
+
+    ex = CoastlineExtractor(image_size=64)  # random weights are fine here
+    ex.quantize(np.stack([img]))
+    res = ex.extract_coastline_from_image(str(path), str(tmp_path))
+    assert res is not None
+    assert res["water_mask"].shape == (64, 64)
+    assert (tmp_path / "scene_water_mask.png").exists()
+    # batched path shares the swapped predict fn
+    masks = ex.predict_masks_batch(np.stack([img, img]))
+    assert masks.shape == (2, 64, 64) and set(np.unique(masks)) <= {0, 1}
+
+
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "quant_accuracy.json")
 
