@@ -213,14 +213,23 @@ class _QT:
         return self.q.astype(jnp.float32) * self.step
 
 
+#: Which ops run s8xs8->s32 on the MXU (vs reading int8 + computing bf16).
+#: Tuned from on-chip per-op probes (scripts/probe_int8_ops.py).
+DEFAULT_POLICY = {
+    "conv_min_ch": 64,   # int8 conv iff min(C_in, C_out) >= this
+    "convT_int8": True,  # int8 path for lhs-dilated (transposed) convs
+}
+
+
 class _Ctx:
     """Carries mode (float-calibration vs int8) + scales + absmax records."""
 
     def __init__(self, scales: Optional[Dict[str, float]], collect=None,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, policy: Optional[Dict] = None):
         self.scales = scales
         self.collect = collect  # dict to fill with traced absmax scalars
         self.dtype = dtype  # float-path compute dtype (f32 for anchor tests)
+        self.policy = dict(DEFAULT_POLICY, **(policy or {}))
 
     @property
     def quant(self):
@@ -257,7 +266,8 @@ def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
         else padding
     dn = ("NHWC", "HWIO", "NHWC")
     use_int8 = (ctx.quant and x.step is not None and wq is not None
-                and min(cin, cout) >= 64)
+                and min(cin, cout) >= ctx.policy["conv_min_ch"]
+                and (lhs_dilation is None or ctx.policy["convT_int8"]))
     if use_int8:
         acc = lax.conv_general_dilated(
             x.q, jnp.asarray(wq), (stride, stride), pad,
@@ -328,10 +338,11 @@ def _double_conv(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
     return ctx.site(f"{name}.out", nn_relu(_conv(ctx, t1, p["c2"], padding=1)))
 
 
-def _forward_unet(qp, scales, x, collect=None, dtype=jnp.bfloat16):
+def _forward_unet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                  policy=None):
     """Plain-UNet forward on folded params (logits out, torch concat order
     [up, skip] — models/unet.py)."""
-    ctx = _Ctx(scales, collect, dtype)
+    ctx = _Ctx(scales, collect, dtype, policy)
     cur = ctx.site("input", x.astype(jnp.float32))
     enc = []
     for i in range(4):
@@ -349,9 +360,9 @@ def _forward_unet(qp, scales, x, collect=None, dtype=jnp.bfloat16):
     return _conv(ctx, cur, qp["head"])
 
 
-def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16):
+def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16, policy=None):
     """Shared RobustUNet forward. scales=None -> float/calibration mode."""
-    ctx = _Ctx(scales, collect, dtype)
+    ctx = _Ctx(scales, collect, dtype, policy)
     xin = ctx.site("input", x.astype(jnp.float32))
 
     enc = [None] * 5
@@ -401,10 +412,10 @@ def float_forward(folded, x, return_logits: bool = False,
 
 
 def int8_forward(qparams, scales, x, return_logits: bool = False,
-                 arch: str = "robust_unet"):
+                 arch: str = "robust_unet", policy: Optional[Dict] = None):
     """int8-activation forward; `scales` maps site name -> absmax (float)."""
     _, fwd, sig = ARCHS[arch]
-    logits = fwd(qparams, scales, x)
+    logits = fwd(qparams, scales, x, policy=policy)
     return jax.nn.sigmoid(logits) if sig and not return_logits else logits
 
 
@@ -468,20 +479,23 @@ class QuantizedModel:
     >>> probs = q(x)            # jitted int8 forward
     """
 
-    def __init__(self, qparams, scales, arch: str = "robust_unet"):
+    def __init__(self, qparams, scales, arch: str = "robust_unet",
+                 policy: Optional[Dict] = None):
         self.qparams = qparams
         self.scales = scales
         self.arch = arch
+        self.policy = policy
         # scales are scalar HLO constants (fine); qparams stay a traced
         # argument — captured trees hang remote compiles (CLAUDE.md).
-        self._fn = jax.jit(lambda p, x: int8_forward(p, scales, x, arch=arch))
+        self._fn = jax.jit(
+            lambda p, x: int8_forward(p, scales, x, arch=arch, policy=policy))
 
     @classmethod
     def from_variables(cls, variables, calib_images, batch_size: int = 2,
-                       arch: str = "robust_unet"):
+                       arch: str = "robust_unet", policy: Optional[Dict] = None):
         folded = ARCHS[arch][0](variables)
         scales = calibrate(folded, calib_images, batch_size, arch=arch)
-        return cls(quantize_folded(folded), scales, arch)
+        return cls(quantize_folded(folded), scales, arch, policy)
 
     def __call__(self, x):
         return self._fn(self.qparams, jnp.asarray(x, jnp.float32))
