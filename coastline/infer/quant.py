@@ -268,17 +268,22 @@ def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
     use_int8 = (ctx.quant and x.step is not None and wq is not None
                 and min(cin, cout) >= ctx.policy["conv_min_ch"]
                 and (lhs_dilation is None or ctx.policy["convT_int8"]))
+    # The epilogue's f32 math lives in-register inside the conv fusion; the
+    # RESULT is cast to the compute dtype before anything is written — a
+    # full-resolution f32 tensor in HBM costs 2x passes and measured 6x
+    # end-to-end on the first version of this graph (see bench_quant.py).
     if use_int8:
         acc = lax.conv_general_dilated(
             x.q, jnp.asarray(wq), (stride, stride), pad,
             lhs_dilation=lhs_dilation, rhs_dilation=(dilation, dilation),
             dimension_numbers=dn, preferred_element_type=jnp.int32)
-        return acc.astype(jnp.float32) * (x.step * jnp.asarray(wstep)) + b
+        y = acc.astype(jnp.float32) * (x.step * jnp.asarray(wstep)) + b
+        return y.astype(ctx.dtype)
     y = lax.conv_general_dilated(
         x.f(ctx.dtype), jnp.asarray(w, ctx.dtype), (stride, stride), pad,
         lhs_dilation=lhs_dilation, rhs_dilation=(dilation, dilation),
         dimension_numbers=dn)
-    return y.astype(jnp.float32) + b
+    return y + jnp.asarray(b, ctx.dtype)
 
 
 def _maxpool(x: _QT) -> _QT:
@@ -290,6 +295,7 @@ def _maxpool(x: _QT) -> _QT:
 
 
 def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
+    dt = ctx.dtype
     if p["short"] is not None:
         short = ctx.site(f"{name}.short", _conv(ctx, x, p["short"]))
     else:
@@ -298,25 +304,33 @@ def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
     t1 = ctx.site(f"{name}.t1", t1)
     mid = ctx.site(f"{name}.mid", _conv(ctx, t1, p["c2"], padding=1))
 
-    # CBAM channel gate: pooled vectors -> shared MLP (f32, tiny)
-    midf = mid.f32()
-    avg = jnp.mean(midf, axis=(1, 2))
-    mx = jnp.max(midf, axis=(1, 2))
+    # CBAM channel gate. Full-resolution tensors stay in the compute dtype
+    # (int8 codes / bf16) — f32 appears only as reduction accumulators and
+    # on the pooled (N, C) vectors. An f32 materialization here measured a
+    # 6x end-to-end regression (bench_quant.py round-3 log).
+    midb = mid.f(dt)  # rematerializes into each consumer fusion
+    # Pool the raw codes (reads int8, f32 accumulator); dequant the tiny
+    # pooled vectors exactly. Mean/max commute with the positive step.
+    avg = jnp.mean(mid.q, axis=(1, 2), dtype=jnp.float32)
+    mx = jnp.max(mid.q, axis=(1, 2)).astype(jnp.float32)
+    if mid.step is not None:
+        avg = avg * mid.step
+        mx = mx * mid.step
     fc1 = jnp.asarray(p["fc1"], jnp.float32)
     fc2 = jnp.asarray(p["fc2"], jnp.float32)
     gate = jax.nn.relu(avg @ fc1) @ fc2 + jax.nn.relu(mx @ fc1) @ fc2
-    gc = jax.nn.sigmoid(gate)  # (N, C)
+    gc = jax.nn.sigmoid(gate).astype(dt)  # (N, C)
 
-    # CBAM spatial gate on the channel-gated tensor (read int8 once more)
-    gated = midf * gc[:, None, None, :]
-    att = jnp.stack([jnp.mean(gated, axis=-1), jnp.max(gated, axis=-1)],
-                    axis=-1)  # (N, H, W, 2)
+    # CBAM spatial gate on the channel-gated tensor
+    gated = midb * gc[:, None, None, :]
+    att = jnp.stack([jnp.mean(gated, axis=-1, dtype=jnp.float32).astype(dt),
+                     jnp.max(gated, axis=-1)], axis=-1)  # (N, H, W, 2)
     sa = lax.conv_general_dilated(
-        att.astype(ctx.dtype), jnp.asarray(p["sa"], ctx.dtype),
+        att, jnp.asarray(p["sa"], dt),
         (1, 1), ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    gs = jax.nn.sigmoid(sa.astype(jnp.float32))  # (N, H, W, 1)
+    gs = jax.nn.sigmoid(sa)  # (N, H, W, 1), compute dtype like the model
 
-    out = jax.nn.relu(midf * gc[:, None, None, :] * gs + short.f32())
+    out = nn_relu(gated * gs + short.f(dt))
     return ctx.site(f"{name}.out", out)
 
 
@@ -329,8 +343,8 @@ def _attention_gate(ctx: _Ctx, name: str, g: _QT, x: _QT, p) -> _QT:
     x1 = _conv(ctx, x, p["x"])
     psi = ctx.site(f"{name}.psi", nn_relu(g1 + x1))
     psi = _conv(ctx, psi, p["psi"])
-    gate = jax.nn.sigmoid(psi)  # f32, (N, H, W, 1)
-    return ctx.site(f"{name}.out", x.f32() * gate)
+    gate = jax.nn.sigmoid(psi.astype(jnp.float32)).astype(ctx.dtype)
+    return ctx.site(f"{name}.out", x.f(ctx.dtype) * gate)
 
 
 def _double_conv(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
@@ -355,9 +369,9 @@ def _forward_unet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
                    padding=((1, 1), (1, 1)))
         up = ctx.site(f"up{i}.out", up)
         cat = ctx.site(f"cat{i}", jnp.concatenate(
-            [up.f32(), enc[3 - i].f32()], axis=-1))
+            [up.f(ctx.dtype), enc[3 - i].f(ctx.dtype)], axis=-1))
         cur = _double_conv(ctx, f"dc{5 + i}", cat, qp[f"dc{5 + i}"])
-    return _conv(ctx, cur, qp["head"])
+    return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
 
 
 def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16, policy=None):
@@ -387,12 +401,11 @@ def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16, policy=None):
                    padding=((1, 1), (1, 1)))
         up = ctx.site(f"up{i}.out", up)
         skip = _attention_gate(ctx, f"ag{i}", up, enc[3 - i], qp[f"ag{i}"])
-        cat = ctx.site(f"cat{i}", jnp.concatenate([skip.f32(), up.f32()],
-                                                  axis=-1))
+        cat = ctx.site(f"cat{i}", jnp.concatenate(
+            [skip.f(ctx.dtype), up.f(ctx.dtype)], axis=-1))
         cur = _residual_block(ctx, f"rb{5 + i}", cat, qp[f"rb{5 + i}"])
 
-    logits = _conv(ctx, cur, qp["head"])
-    return logits
+    return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
 
 
 # arch name -> (fold fn, forward fn, sigmoid head?)
