@@ -9,6 +9,10 @@ identical regardless of scale values. Accuracy is gated separately
 import json
 import sys
 
+from coastline.utils.platform import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 
@@ -32,7 +36,7 @@ def main():
     qp = quant.quantize_folded(folded)
 
     out = {"rtt_ms": round(rtt * 1e3, 1)}
-    for B in (32, 64):
+    for B in (8, 16, 32, 64):
         xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
 
         # production bf16 path

@@ -62,6 +62,9 @@ def get_trained_variables(images, masks, n_train, epochs, batch, lr):
 
 
 def main():
+    from coastline.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
