@@ -72,6 +72,13 @@ def device_loop_seconds(step_fn, args, n_loop: int = 20, trials: int = 3,
     if rtt is None:
         rtt = measure_dispatch_rtt()
 
+    # Pin args to the device ONCE. Host-resident (numpy) arg trees would be
+    # re-uploaded through the transport on every timed call, and because
+    # n_loop auto-scales inversely with the step time the inflation is
+    # MULTIPLICATIVE, not additive — a 400MB numpy param tree measured a
+    # healthy graph 4-6x slow (round-3 int8 quant bench post-mortem).
+    args = jax.device_put(args)
+
     def make_loop(n):
         @jax.jit
         def loop(*a):
