@@ -90,6 +90,40 @@ def main():
     if flops_per_img:
         log(f"achieved: {flops_per_img * best_ips / 1e12:.1f} TFLOP/s")
 
+    # Int8 PTQ path (coastline/infer/quant.py): the deployment speed mode.
+    # Headline-eligible only when the committed trained-model accuracy
+    # artifact passes its gates (iou_drop <= 0.002, agreement >= 0.995).
+    int8_ips, int8_b = 0.0, None
+    try:
+        from coastline.infer import quant
+
+        folded = quant.fold_robust_unet(variables)
+        calib = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 512, 3),
+                                  jnp.float32)
+        scales = quant.calibrate(folded, calib, batch_size=2)
+        qp = jax.device_put(quant.quantize_folded(folded))
+
+        def int8_step(c, p, x):
+            y = quant.int8_forward(p, scales, x * (1.0 + c * 1e-20))
+            return c + y.mean().astype(jnp.float32)
+
+        for B in (8, 16, 32):
+            xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
+            sec = device_loop_seconds(int8_step, (qp, xb), n_loop=20, rtt=rtt)
+            ips = B / sec
+            log(f"batch-{B} int8 inference: {ips:.1f} images/sec")
+            if ips > int8_ips:
+                int8_ips, int8_b = ips, B
+    except Exception as e:
+        log("int8 path unavailable:", e)
+
+    int8_ok = False
+    acc_path = REPO / "artifacts" / "quant_accuracy.json"
+    if int8_b is not None and acc_path.exists():
+        acc = json.loads(acc_path.read_text())
+        int8_ok = (acc.get("iou_drop", 1.0) <= 0.002
+                   and acc.get("mask_agreement_iou", 0.0) >= 0.995)
+
     # Train-step throughput (batch 8, BCE, full Adam update). The epoch scan
     # already loops on device; give it 10 batches and subtract the RTT.
     B = 8
@@ -120,12 +154,21 @@ def main():
         base = json.loads(baseline_path.read_text())
         vs = best_ips / base["robust_unet_infer_images_per_sec"]
 
+    headline_int8 = int8_ok and int8_ips > best_ips
+    value = int8_ips if headline_int8 else best_ips
+    if baseline_path.exists():
+        vs = value / base["robust_unet_infer_images_per_sec"]
     out = {
-        "metric": "robust_unet_512_bf16_infer_images_per_sec_per_chip",
-        "value": round(best_ips, 2),
+        "metric": ("robust_unet_512_int8_infer_images_per_sec_per_chip"
+                   if headline_int8 else
+                   "robust_unet_512_bf16_infer_images_per_sec_per_chip"),
+        "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 1) if vs else None,
-        "best_batch": best_b,
+        "best_batch": int8_b if headline_int8 else best_b,
+        "bf16_images_per_sec": round(best_ips, 2),
+        "int8_images_per_sec": round(int8_ips, 2) if int8_b else None,
+        "int8_accuracy_gated": int8_ok,
         "p50_tile_latency_ms": round(p50_ms, 2),
         "train_images_per_sec_per_chip": round(train_ips, 2),
         "platform": dev.platform,
