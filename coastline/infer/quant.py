@@ -207,10 +207,6 @@ class _QT:
             return self.q.astype(dtype)
         return self.q.astype(dtype) * self.step.astype(dtype)
 
-    def f32(self):
-        if self.step is None:
-            return self.q.astype(jnp.float32)
-        return self.q.astype(jnp.float32) * self.step
 
 
 #: Which ops run s8xs8->s32 on the MXU (vs reading int8 + computing bf16).
@@ -300,7 +296,7 @@ def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
         short = ctx.site(f"{name}.short", _conv(ctx, x, p["short"]))
     else:
         short = x
-    t1 = nn_relu(_conv(ctx, x, p["c1"], padding=1))
+    t1 = jax.nn.relu(_conv(ctx, x, p["c1"], padding=1))
     t1 = ctx.site(f"{name}.t1", t1)
     mid = ctx.site(f"{name}.mid", _conv(ctx, t1, p["c2"], padding=1))
 
@@ -330,26 +326,22 @@ def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
         (1, 1), ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     gs = jax.nn.sigmoid(sa)  # (N, H, W, 1), compute dtype like the model
 
-    out = nn_relu(gated * gs + short.f(dt))
+    out = jax.nn.relu(gated * gs + short.f(dt))
     return ctx.site(f"{name}.out", out)
-
-
-def nn_relu(x):
-    return jax.nn.relu(x)
 
 
 def _attention_gate(ctx: _Ctx, name: str, g: _QT, x: _QT, p) -> _QT:
     g1 = _conv(ctx, g, p["g"])
     x1 = _conv(ctx, x, p["x"])
-    psi = ctx.site(f"{name}.psi", nn_relu(g1 + x1))
+    psi = ctx.site(f"{name}.psi", jax.nn.relu(g1 + x1))
     psi = _conv(ctx, psi, p["psi"])
     gate = jax.nn.sigmoid(psi.astype(jnp.float32)).astype(ctx.dtype)
     return ctx.site(f"{name}.out", x.f(ctx.dtype) * gate)
 
 
 def _double_conv(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
-    t1 = ctx.site(f"{name}.t1", nn_relu(_conv(ctx, x, p["c1"], padding=1)))
-    return ctx.site(f"{name}.out", nn_relu(_conv(ctx, t1, p["c2"], padding=1)))
+    t1 = ctx.site(f"{name}.t1", jax.nn.relu(_conv(ctx, x, p["c1"], padding=1)))
+    return ctx.site(f"{name}.out", jax.nn.relu(_conv(ctx, t1, p["c2"], padding=1)))
 
 
 def _forward_unet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
@@ -393,7 +385,7 @@ def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16, policy=None):
         _conv(ctx, cur, qp["db"]["b2"], padding=2, dilation=2),
         _conv(ctx, cur, qp["db"]["b3"], padding=4, dilation=4),
     ]
-    cur = ctx.site("db.out", nn_relu(jnp.concatenate(branches, axis=-1)))
+    cur = ctx.site("db.out", jax.nn.relu(jnp.concatenate(branches, axis=-1)))
     cur = _residual_block(ctx, "rb4", cur, qp["rb4"])
 
     for i in range(4):
