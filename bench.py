@@ -107,8 +107,16 @@ def main():
             y = quant.int8_forward(p, scales, x * (1.0 + c * 1e-20))
             return c + y.mean().astype(jnp.float32)
 
-        for B in (8, 16, 32):
+        int8_fn = jax.jit(lambda p, x: quant.int8_forward(p, scales, x))
+        for B in (8, 16, 32, 48, 64, 80):
             xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
+            if B >= 48:  # HBM guard: never launch a program that can't fit
+                ma = int8_fn.lower(qp, xb).compile().memory_analysis()
+                tot = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                       + ma.output_size_in_bytes) / 1e9
+                if tot > 14.0:
+                    log(f"batch-{B} int8 skipped: {tot:.1f} GB")
+                    continue
             sec = device_loop_seconds(int8_step, (qp, xb), n_loop=20, rtt=rtt)
             ips = B / sec
             log(f"batch-{B} int8 inference: {ips:.1f} images/sec")
