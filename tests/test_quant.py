@@ -79,6 +79,24 @@ def test_int8_forward_runs_and_agrees(small_model):
     assert float(jnp.abs(ref - got).mean()) < 0.05
 
 
+def test_policy_variants_agree(small_model):
+    """The per-op policy changes WHICH engine executes each conv, never the
+    math: int8-storage-only (all-bf16 convs) must closely match the default
+    mixed policy, and both must track the float path."""
+    m, v, x = small_model
+    folded = quant.fold_robust_unet(v)
+    scales = quant.calibrate(folded, x, batch_size=2)
+    qp = quant.quantize_folded(folded)
+    default = jax.jit(lambda p, xx: quant.int8_forward(p, scales, xx))(qp, x)
+    a8only = jax.jit(lambda p, xx: quant.int8_forward(
+        p, scales, xx, policy={"conv_min_ch": 10**9, "convT_int8": False}))(
+            qp, x)
+    # same quantization sites, different conv engines: tiny numeric drift
+    assert float(jnp.abs(default - a8only).mean()) < 0.02
+    agree = float((np.asarray(default > .5) == np.asarray(a8only > .5)).mean())
+    assert agree > 0.97
+
+
 def test_calibration_sites_cover_every_scale_lookup(small_model):
     _, v, x = small_model
     folded = quant.fold_robust_unet(v)
