@@ -34,6 +34,9 @@ def main(argv=None):
                    help="run without a checkpoint (smoke testing)")
     p.add_argument("--image-size", type=int, default=512,
                    help="model input resolution (must match training)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 PTQ path (docs/QUANT.md): +24%% "
+                        "throughput on a v5e, IoU drop 1e-5 at the gate")
     args = p.parse_args(argv)
 
     from coastline.utils.platform import apply_platform_override
@@ -53,6 +56,9 @@ def main(argv=None):
         print(f"{e}\n(hint: train first with coastline.cli.train, or pass "
               f"--random-weights for a smoke run)")
         return 1
+    if args.int8:
+        print("quantizing to int8 (calibrating on synthetic scenes)")
+        ex.quantize()
 
     if args.batch or os.path.isdir(args.input):
         exts = ("*.png", "*.jpg", "*.jpeg", "*.tif", "*.tiff")

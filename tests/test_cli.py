@@ -65,6 +65,22 @@ def test_predict_cli_random_weights(tmp_path):
     assert os.path.exists(os.path.join(out, "scene_coastlines.json"))
 
 
+def test_predict_cli_int8(tmp_path):
+    from PIL import Image
+
+    from coastline.cli.predict import main
+    from coastline.data.synthetic import make_scene
+
+    img, _, _ = make_scene(np.random.default_rng(0), size=64)
+    path = str(tmp_path / "scene.png")
+    Image.fromarray(img).save(path)
+    out = str(tmp_path / "out")
+    rc = main([path, "--random-weights", "--image-size", "64",
+               "--output", out, "--int8"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "scene_water_mask.png"))
+
+
 def test_predict_cli_missing_checkpoint(tmp_path, capsys):
     from PIL import Image
 
