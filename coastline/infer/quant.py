@@ -157,6 +157,48 @@ def fold_unet(variables) -> Dict:
     return out
 
 
+def fold_segnet(variables) -> Dict:
+    """Fold BNs of SegNet (models/segnet.py, parity `comne.py:84-208`):
+    19 ConvBNAct layers (flat creation order: 10 encoder, 9 decoder) and
+    the 3x3 head."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {
+        f"c{i}": _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                       p[f"ConvBNAct_{i}"]["Norm_0"],
+                       s[f"ConvBNAct_{i}"]["Norm_0"])
+        for i in range(19)
+    }
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
+def fold_deeplabv3p(variables) -> Dict:
+    """Fold BNs of DeepLabV3+ (models/deeplabv3p.py, parity
+    `Main_Final.py:359-433`): 4 backbone ConvBNActs, the 6-conv ASPP (BN
+    only after the fusion conv), 4 ConvTranspose+Norm decoder stages."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {
+        f"c{i}": _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                       p[f"ConvBNAct_{i}"]["Norm_0"],
+                       s[f"ConvBNAct_{i}"]["Norm_0"])
+        for i in range(4)
+    }
+    aspp, aspps = p["ASPP_0"], s["ASPP_0"]
+    for k in range(5):  # b1..b5: bias, no BN
+        out[f"aspp_b{k}"] = _fold(aspp[f"Conv_{k}"])
+    out["aspp_fuse"] = _fold(aspp["Conv_5"], aspp["Norm_0"], aspps["Norm_0"])
+    for i in range(4):  # ConvTranspose + top-level Norm pairs
+        ct = p[f"ConvTranspose_{i}"]
+        inv, shift = _bn_affine(p[f"Norm_{i}"], s[f"Norm_{i}"])
+        w = np.asarray(ct["kernel"], np.float32) * inv[None, None, None, :]
+        b = np.asarray(ct["bias"], np.float32) * inv + shift
+        out[f"up{i}"] = (w, b)
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Weight quantization
 # ---------------------------------------------------------------------------
@@ -282,11 +324,14 @@ def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
     return y + jnp.asarray(b, ctx.dtype)
 
 
-def _maxpool(x: _QT) -> _QT:
-    """2x2/s2 max pool directly on the codes (monotonic under dequant)."""
+def _maxpool(x: _QT, window: int = 2, stride: int = 2,
+             padding: int = 0) -> _QT:
+    """Max pool directly on the codes (monotonic under dequant)."""
     init = jnp.int8(-128) if x.step is not None else -jnp.inf
-    y = lax.reduce_window(x.q, init, lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
-                          ((0, 0), (0, 0), (0, 0), (0, 0)))
+    y = lax.reduce_window(x.q, init, lax.max, (1, window, window, 1),
+                          (1, stride, stride, 1),
+                          ((0, 0), (padding, padding), (padding, padding),
+                           (0, 0)))
     return _QT(y, x.step)
 
 
@@ -400,10 +445,88 @@ def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16, policy=None):
     return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
 
 
+def _forward_segnet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                    policy=None):
+    """SegNet forward on folded params. The index-preserving unpool runs
+    directly on the int8 CODES: placing codes and zero-filling commutes
+    with dequantization (0 dequantizes to 0.0 under symmetric quant)."""
+    from coastline.ops.primitives import max_pool_with_indices, max_unpool
+
+    ctx = _Ctx(scales, collect, dtype, policy)
+    cur = ctx.site("input", x.astype(jnp.float32))
+    k = 0
+
+    def convs(cur, n):
+        nonlocal k
+        for _ in range(n):
+            cur = ctx.site(f"c{k}", jax.nn.relu(
+                _conv(ctx, cur, qp[f"c{k}"], padding=1)))
+            k += 1
+        return cur
+
+    idx = []
+    for n in (2, 2, 3, 3):
+        cur = convs(cur, n)
+        q, i = max_pool_with_indices(cur.q)
+        idx.append(i)
+        cur = _QT(q, cur.step)
+    for n, i in zip((3, 3, 2), (idx[3], idx[2], idx[1])):
+        cur = _QT(max_unpool(cur.q, i), cur.step)
+        cur = convs(cur, n)
+    cur = _QT(max_unpool(cur.q, idx[0]), cur.step)
+    cur = convs(cur, 1)
+    return _conv(ctx, cur, qp["head"], padding=1).astype(jnp.float32)
+
+
+def _forward_deeplabv3p(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                        policy=None):
+    """DeepLabV3+ forward on folded params: strided stem, ASPP (the global
+    branch pools the codes and broadcasts its 1x1-conv output), 4
+    ConvTranspose+BN(folded)+ReLU decoder stages."""
+    ctx = _Ctx(scales, collect, dtype, policy)
+    cur = ctx.site("input", x.astype(jnp.float32))
+    cur = ctx.site("c0", jax.nn.relu(
+        _conv(ctx, cur, qp["c0"], stride=2, padding=3)))
+    cur = _maxpool(cur, window=3, stride=2, padding=1)
+    cur = ctx.site("c1", jax.nn.relu(_conv(ctx, cur, qp["c1"], padding=1)))
+    cur = ctx.site("c2", jax.nn.relu(
+        _conv(ctx, cur, qp["c2"], stride=2, padding=1)))
+    cur = ctx.site("c3", jax.nn.relu(
+        _conv(ctx, cur, qp["c3"], stride=2, padding=1)))
+
+    n, h, w, _ = cur.q.shape
+    branches = [
+        _conv(ctx, cur, qp["aspp_b0"]),
+        _conv(ctx, cur, qp["aspp_b1"], padding=6, dilation=6),
+        _conv(ctx, cur, qp["aspp_b2"], padding=12, dilation=12),
+        _conv(ctx, cur, qp["aspp_b3"], padding=18, dilation=18),
+    ]
+    # global branch: pool the codes, 1x1-conv the tiny (N, C) vector in f32,
+    # broadcast back (bilinear resize of a 1x1 map IS a broadcast)
+    pooled = jnp.mean(cur.q, axis=(1, 2), dtype=jnp.float32)
+    if cur.step is not None:
+        pooled = pooled * cur.step
+    wb5, bb5 = (qp["aspp_b4"]["w"], qp["aspp_b4"]["b"]) \
+        if isinstance(qp["aspp_b4"], dict) else qp["aspp_b4"]
+    v = pooled @ jnp.asarray(wb5, jnp.float32)[0, 0] + bb5
+    branches.append(jnp.broadcast_to(v[:, None, None, :].astype(ctx.dtype),
+                                     (n, h, w, v.shape[-1])))
+    cat = ctx.site("aspp.cat", jnp.concatenate(branches, axis=-1))
+    cur = ctx.site("aspp.out", jax.nn.relu(_conv(ctx, cat, qp["aspp_fuse"])))
+
+    for i in range(4):
+        up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
+                   padding=((2, 2), (2, 2)))
+        cur = ctx.site(f"up{i}.out", jax.nn.relu(up))
+    return _conv(ctx, cur, qp["head"], padding=1).astype(jnp.float32)
+
+
 # arch name -> (fold fn, forward fn, sigmoid head?)
 ARCHS = {
     "robust_unet": (fold_robust_unet, _forward, True),
     "unet": (fold_unet, _forward_unet, False),
+    "segnet": (fold_segnet, _forward_segnet, True),
+    "deeplabv3p": (fold_deeplabv3p, _forward_deeplabv3p, True),
 }
 
 

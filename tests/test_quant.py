@@ -168,6 +168,37 @@ def test_extractor_quantize_mode(tmp_path):
     assert masks.shape == (2, 64, 64) and set(np.unique(masks)) <= {0, 1}
 
 
+@pytest.mark.parametrize("arch,model_fn", [
+    ("segnet", lambda: __import__("coastline.models.segnet",
+                                  fromlist=["SegNet"]).SegNet(dtype=jnp.float32)),
+    ("deeplabv3p", lambda: __import__("coastline.models.deeplabv3p",
+                                      fromlist=["DeepLabV3Plus"]
+                                      ).DeepLabV3Plus(dtype=jnp.float32)),
+])
+def test_more_archs_fold_and_int8(arch, model_fn):
+    """SegNet (indexed unpool on codes) and DeepLabV3+ (strided stem, ASPP
+    global-pool broadcast, ConvT+BN fold): f32 anchor vs apply, then the
+    int8 path runs and agrees."""
+    m = model_fn()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    v = m.init({"params": rng, "dropout": rng}, x)
+    _, upd = m.apply(v, x, train=True, mutable=["batch_stats"],
+                     rngs={"dropout": rng})
+    v = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+    ref = m.apply(v, x, train=False)
+    folded = quant.ARCHS[arch][0](v)
+    got = jax.jit(lambda f, xx: quant.float_forward(
+        f, xx, dtype=jnp.float32, arch=arch))(folded, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-4)
+
+    q = quant.QuantizedModel.from_variables(v, x, batch_size=2, arch=arch)
+    got8 = np.asarray(q(x))
+    agree = float((np.asarray(ref > .5) == (got8 > .5)).mean())
+    assert agree > 0.93
+    assert float(np.abs(np.asarray(ref) - got8).mean()) < 0.05
+
+
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "quant_accuracy.json")
 
