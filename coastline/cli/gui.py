@@ -162,8 +162,9 @@ def main(argv=None):
             )
 
     class App:
-        def __init__(self, root):
+        def __init__(self, root, int8: bool = False):
             self.root = root
+            self.int8 = int8
             root.title("coastline — TPU coastline extraction")
             root.geometry("1100x750")
             self.queue = queue.Queue()
@@ -218,6 +219,9 @@ def main(argv=None):
                     if os.path.isdir(os.path.join(ckpt, "best"))
                     else CoastlineExtractor()
                 )
+                if self.int8:
+                    self.queue.put(("status", "quantizing to int8..."))
+                    extractor.quantize()
                 self.extractor = extractor
                 self.queue.put(("ready", None))
                 self.queue.put(("status", "model ready"))
@@ -322,7 +326,7 @@ def main(argv=None):
                 self.status.set(f"saved {len(results)} result set(s) to {out}")
 
     root = tk.Tk()
-    App(root)
+    App(root, int8="--int8" in (argv if argv is not None else sys.argv[1:]))
     root.mainloop()
     return 0
 
