@@ -168,6 +168,52 @@ def test_extractor_quantize_mode(tmp_path):
     assert masks.shape == (2, 64, 64) and set(np.unique(masks)) <= {0, 1}
 
 
+def test_int8_forward_under_data_mesh(small_model):
+    """The int8 graph composes with GSPMD: batch-sharded over a 4-device
+    'data' mesh it must produce the single-device output (quantization is
+    elementwise + convs — partitioning cannot change the codes)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coastline.parallel.mesh import make_mesh
+
+    _, v, x = small_model
+    folded = quant.fold_robust_unet(v)
+    scales = quant.calibrate(folded, x, batch_size=2)
+    qp = quant.quantize_folded(folded)
+    xb = jnp.concatenate([x, x[::-1]], axis=0)  # batch 4
+
+    single = jax.jit(lambda p, xx: quant.int8_forward(p, scales, xx))(qp, xb)
+
+    mesh = make_mesh(4, space=1)
+    xsh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def sharded(p, xx):
+        xx = jax.lax.with_sharding_constraint(xx, xsh)
+        return quant.int8_forward(p, scales, xx)
+
+    out = sharded(jax.device_put(qp, NamedSharding(mesh, P())),
+                  jax.device_put(xb, xsh))
+    np.testing.assert_allclose(np.asarray(single), np.asarray(out),
+                               atol=2e-3)
+
+
+def test_server_on_quantized_extractor():
+    """The micro-batching server runs unchanged on the int8 predict path."""
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=64)
+    rng = np.random.default_rng(1)
+    images = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+              for _ in range(4)]
+    ex.quantize(np.stack(images))
+    direct = ex.predict_masks_batch(np.stack(images))
+    with ex.serve(batch_size=4) as srv:
+        masks = srv.predict_many(images)
+    for i in range(4):
+        np.testing.assert_array_equal(masks[i], direct[i])
+
+
 @pytest.mark.parametrize("arch,model_fn", [
     ("segnet", lambda: __import__("coastline.models.segnet",
                                   fromlist=["SegNet"]).SegNet(dtype=jnp.float32)),
