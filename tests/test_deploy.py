@@ -1,0 +1,91 @@
+"""Deployment artifacts (coastline/infer/deploy.py): quantized .npz
+round-trip and AOT jax.export serving artifacts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coastline.infer import deploy, quant
+from coastline.models.robust_unet import RobustUNet
+
+
+@pytest.fixture(scope="module")
+def qmodel():
+    m = RobustUNet(dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    v = m.init({"params": rng, "dropout": rng}, x)
+    qm = quant.QuantizedModel.from_variables(v, x, batch_size=2,
+                                             arch="robust_unet")
+    return qm, x
+
+
+def test_quantized_npz_roundtrip(qmodel, tmp_path):
+    qm, x = qmodel
+    ref = np.asarray(qm(x))
+    path = tmp_path / "weights.npz"
+    deploy.save_quantized(path, qm)
+    back = deploy.load_quantized(path)
+    assert back.arch == qm.arch
+    # codes and steps must round-trip bit-exactly -> identical outputs
+    np.testing.assert_array_equal(ref, np.asarray(back(x)))
+
+
+def test_roundtrip_preserves_dtypes_and_nones(qmodel, tmp_path):
+    qm, _ = qmodel
+    path = tmp_path / "weights.npz"
+    deploy.save_quantized(path, qm)
+    back = deploy.load_quantized(path)
+    # rb4 (bottleneck, 512->512) is the zoo's one identity shortcut
+    assert back.qparams["rb4"]["short"] is None
+    assert back.qparams["rb0"]["c1"]["wq"].dtype == np.int8
+    assert back.qparams["rb0"]["c1"]["wstep"].dtype == np.float32
+    # scale dict survives with float values
+    assert all(isinstance(v, float) for v in back.scales.values())
+
+
+def test_slim_artifact_smaller_and_exact(qmodel, tmp_path):
+    qm, x = qmodel
+    ref = np.asarray(qm(x))
+    slim, full = tmp_path / "slim.npz", tmp_path / "full.npz"
+    deploy.save_quantized(slim, qm, slim=True)
+    deploy.save_quantized(full, qm, slim=False)
+    assert slim.stat().st_size < 0.6 * full.stat().st_size
+    back = deploy.load_quantized(slim)
+    # default policy never reads the dropped f32 weights -> bit-exact
+    np.testing.assert_array_equal(ref, np.asarray(back(x)))
+    # reconstructed w is the dequantized codes (policy-change fallback)
+    w = back.qparams["rb4"]["c1"]["w"]
+    wq = back.qparams["rb4"]["c1"]["wq"].astype(np.float32)
+    step = back.qparams["rb4"]["c1"]["wstep"]
+    np.testing.assert_allclose(w, wq * step[None, None, None, :], rtol=1e-6)
+
+
+def test_serving_export_roundtrip(qmodel, tmp_path):
+    qm, x = qmodel
+    ref = np.asarray(qm(x))
+    data = deploy.export_serving(qm, batch_size=2, image_size=64)
+    assert isinstance(data, bytes) and len(data) > 0
+    fn = deploy.load_serving(data)
+    out = np.asarray(fn(qm.qparams, np.asarray(x)))
+    np.testing.assert_allclose(ref, out, atol=1e-6)
+
+
+def test_serving_bundle(qmodel, tmp_path):
+    qm, x = qmodel
+    ref = np.asarray(qm(x))
+    d = tmp_path / "bundle"
+    deploy.save_serving_bundle(d, qm, batch_size=2, image_size=64)
+    fn, back = deploy.load_serving_bundle(d)
+    np.testing.assert_allclose(ref, np.asarray(fn(np.asarray(x))), atol=1e-6)
+    assert back.arch == "robust_unet"
+
+
+def test_export_rejects_wrong_shape(qmodel):
+    qm, x = qmodel
+    data = deploy.export_serving(qm, batch_size=2, image_size=64)
+    fn = deploy.load_serving(data)
+    bad = np.zeros((3, 64, 64, 3), np.float32)  # batch 3 != exported 2
+    with pytest.raises(Exception):
+        np.asarray(fn(qm.qparams, bad))
