@@ -37,6 +37,12 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the int8 PTQ path (docs/QUANT.md): +24%% "
                         "throughput on a v5e, IoU drop 1e-5 at the gate")
+    p.add_argument("--save-quantized", default=None, metavar="NPZ",
+                   help="with --int8: also write the quantized weights as "
+                        "a serving .npz (later served via --quantized)")
+    p.add_argument("--quantized", default=None, metavar="NPZ",
+                   help="serve directly from a quantized .npz artifact "
+                        "(no checkpoint or calibration needed)")
     args = p.parse_args(argv)
 
     from coastline.utils.platform import apply_platform_override
@@ -51,14 +57,18 @@ def main(argv=None):
     elif not args.random_weights:
         kwargs["checkpoint_dir"] = args.checkpoint
     try:
-        ex = CoastlineExtractor(**kwargs)
+        if args.quantized:
+            ex = CoastlineExtractor.from_quantized(
+                args.quantized, image_size=args.image_size)
+        else:
+            ex = CoastlineExtractor(**kwargs)
     except FileNotFoundError as e:
         print(f"{e}\n(hint: train first with coastline.cli.train, or pass "
               f"--random-weights for a smoke run)")
         return 1
-    if args.int8:
+    if args.int8 and not args.quantized:
         print("quantizing to int8 (calibrating on synthetic scenes)")
-        ex.quantize()
+        ex.quantize(save_to=args.save_quantized)
 
     if args.batch or os.path.isdir(args.input):
         exts = ("*.png", "*.jpg", "*.jpeg", "*.tif", "*.tiff")

@@ -90,17 +90,20 @@ class CoastlineExtractor:
         self._predict = _predict
 
     def quantize(self, calib_images_u8: Optional[np.ndarray] = None,
-                 batch_size: int = 2):
+                 batch_size: int = 2, save_to: Optional[str] = None):
         """Switch the predict path to int8 PTQ (infer/quant.py).
 
         Halves activation HBM traffic and runs the deep convs on the MXU's
         int8 path — a deployment speed mode the fp32-torch reference has no
         analogue of. `calib_images_u8` is (N, image_size, image_size, 3)
         uint8 representative data; defaults to synthetic coastal scenes.
+        `save_to` additionally writes the quantized weights+scales as one
+        .npz (infer/deploy.py) that `from_quantized` serves without the
+        float checkpoint or calibration data.
         Returns self. Downstream artifacts are identical in structure; mask
         accuracy is gated in tests/test_quant.py + artifacts/quant_accuracy.json.
         """
-        from coastline.infer.quant import QuantizedModel, int8_forward
+        from coastline.infer.quant import QuantizedModel
 
         s = self.image_size
         if calib_images_u8 is None:
@@ -113,18 +116,52 @@ class CoastlineExtractor:
         calib = (jnp.asarray(calib_images_u8, jnp.float32) / 255.0 - mean) / std
         qm = QuantizedModel.from_variables(
             self.variables, calib, batch_size=batch_size, arch="unet")
+        if save_to is not None:
+            from coastline.infer.deploy import save_quantized
+
+            save_quantized(save_to, qm)
+            print(f"saved quantized serving artifact: {save_to}")
+        self._wire_quantized(qm)
+        return self
+
+    def _wire_quantized(self, qm) -> None:
+        """Route self._predict through an int8 QuantizedModel."""
+        from coastline.infer.quant import int8_forward
+
+        mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
         self.quantized = qm
 
         @jax.jit
         def _predict_q(qparams, x_u8):
             x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
-            logits = int8_forward(qparams, qm.scales, x, arch="unet")
+            logits = int8_forward(qparams, qm.scales, x, arch=qm.arch,
+                                  policy=qm.policy)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         # keep the (params, batch_stats, x) call signature of the fp path
         self._predict = lambda params, batch_stats, x_u8: _predict_q(
             qm.qparams, x_u8)
-        return self
+
+    @classmethod
+    def from_quantized(cls, npz_path: str, image_size: int = 512):
+        """Serve directly from a `save_quantized` .npz — no float
+        checkpoint, Python weights tree, or calibration data needed
+        (the deployment-host path; see docs/QUANT.md)."""
+        from coastline.infer.deploy import load_quantized
+
+        qm = load_quantized(npz_path)
+        if qm.arch != "unet":
+            raise ValueError(
+                f"{npz_path} holds a {qm.arch!r} quantized model; the "
+                "extractor's 2-class argmax pipeline expects arch 'unet'")
+        ex = cls.__new__(cls)
+        ex.image_size = image_size
+        ex.model = None  # no float model; the int8 graph is the server
+        # call sites index variables[...] before _predict ignores them
+        ex.variables = {"params": None, "batch_stats": None}
+        ex._wire_quantized(qm)
+        print(f"loaded quantized serving artifact {npz_path}")
+        return ex
 
     # ------------------------------------------------------------------ io
     def _load_image(self, image_path: str) -> Image.Image:

@@ -81,6 +81,30 @@ def test_predict_cli_int8(tmp_path):
     assert os.path.exists(os.path.join(out, "scene_water_mask.png"))
 
 
+def test_predict_cli_quantized_artifact(tmp_path):
+    """--int8 --save-quantized writes a serving .npz; --quantized serves
+    from it without any checkpoint (masks identical)."""
+    from PIL import Image
+
+    from coastline.cli.predict import main
+    from coastline.data.synthetic import make_scene
+
+    img, _, _ = make_scene(np.random.default_rng(0), size=64)
+    path = str(tmp_path / "scene.png")
+    Image.fromarray(img).save(path)
+    npz = str(tmp_path / "unet_int8.npz")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    rc = main([path, "--random-weights", "--image-size", "64",
+               "--output", out1, "--int8", "--save-quantized", npz])
+    assert rc == 0 and os.path.exists(npz)
+    rc = main([path, "--image-size", "64", "--output", out2,
+               "--quantized", npz])
+    assert rc == 0
+    m1 = np.asarray(Image.open(os.path.join(out1, "scene_water_mask.png")))
+    m2 = np.asarray(Image.open(os.path.join(out2, "scene_water_mask.png")))
+    np.testing.assert_array_equal(m1, m2)
+
+
 def test_predict_cli_missing_checkpoint(tmp_path, capsys):
     from PIL import Image
 

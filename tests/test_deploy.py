@@ -89,3 +89,31 @@ def test_export_rejects_wrong_shape(qmodel):
     bad = np.zeros((3, 64, 64, 3), np.float32)  # batch 3 != exported 2
     with pytest.raises(Exception):
         np.asarray(fn(qm.qparams, bad))
+
+
+def test_extractor_from_quantized(tmp_path):
+    """quantize(save_to=...) -> from_quantized serves identical masks
+    without the float checkpoint (the deployment-host path)."""
+    from coastline.data.synthetic import make_scene
+    from coastline.infer.extract import CoastlineExtractor
+
+    rng = np.random.default_rng(3)
+    imgs = np.stack([make_scene(rng, 64)[0] for _ in range(2)])
+    npz = tmp_path / "unet_int8.npz"
+
+    ex = CoastlineExtractor(image_size=64)  # random weights
+    ex.quantize(imgs, save_to=str(npz))
+    ref = ex.predict_masks_batch(imgs)
+
+    served = CoastlineExtractor.from_quantized(str(npz), image_size=64)
+    np.testing.assert_array_equal(ref, served.predict_masks_batch(imgs))
+
+
+def test_extractor_from_quantized_rejects_wrong_arch(qmodel, tmp_path):
+    from coastline.infer.extract import CoastlineExtractor
+
+    qm, _ = qmodel  # robust_unet, not the extractor's unet
+    path = tmp_path / "wrong.npz"
+    deploy.save_quantized(path, qm)
+    with pytest.raises(ValueError, match="robust_unet"):
+        CoastlineExtractor.from_quantized(str(path), image_size=64)
