@@ -162,9 +162,11 @@ def main(argv=None):
             )
 
     class App:
-        def __init__(self, root, int8: bool = False):
+        def __init__(self, root, int8: bool = False,
+                     quantized: str = None):
             self.root = root
             self.int8 = int8
+            self.quantized = quantized  # serving .npz (infer/deploy.py)
             root.title("coastline — TPU coastline extraction")
             root.geometry("1100x750")
             self.queue = queue.Queue()
@@ -213,15 +215,19 @@ def main(argv=None):
 
         def _load_model(self):
             try:
-                ckpt = "./models"
-                extractor = (
-                    CoastlineExtractor(checkpoint_dir=ckpt)
-                    if os.path.isdir(os.path.join(ckpt, "best"))
-                    else CoastlineExtractor()
-                )
-                if self.int8:
-                    self.queue.put(("status", "quantizing to int8..."))
-                    extractor.quantize()
+                if self.quantized:
+                    extractor = CoastlineExtractor.from_quantized(
+                        self.quantized)
+                else:
+                    ckpt = "./models"
+                    extractor = (
+                        CoastlineExtractor(checkpoint_dir=ckpt)
+                        if os.path.isdir(os.path.join(ckpt, "best"))
+                        else CoastlineExtractor()
+                    )
+                    if self.int8:
+                        self.queue.put(("status", "quantizing to int8..."))
+                        extractor.quantize()
                 self.extractor = extractor
                 self.queue.put(("ready", None))
                 self.queue.put(("status", "model ready"))
@@ -326,7 +332,9 @@ def main(argv=None):
                 self.status.set(f"saved {len(results)} result set(s) to {out}")
 
     root = tk.Tk()
-    App(root, int8="--int8" in (argv if argv is not None else sys.argv[1:]))
+    av = argv if argv is not None else sys.argv[1:]
+    quantized = av[av.index("--quantized") + 1] if "--quantized" in av else None
+    App(root, int8="--int8" in av, quantized=quantized)
     root.mainloop()
     return 0
 
