@@ -258,3 +258,38 @@ def test_quant_accuracy_artifact():
         art = json.load(f)
     assert art["iou_drop"] <= 0.002, art
     assert art["mask_agreement_iou"] >= 0.995, art
+
+@pytest.mark.xfail(
+    reason="XLA SPMD partitioner bug: the halo-exchange path pads the "
+           "all-gathered s8 conv operand with a mismatched-dtype constant "
+           "('element types of the operands to Pad do not match', observed "
+           "jax 0.9.0) — int8 serving shards over 'data' (tested above); "
+           "spatial partitioning requires bf16 until XLA fixes s8 halos",
+    strict=False)
+def test_int8_forward_under_space_mesh(small_model):
+    """Spatial sharding (image rows over a 'space' axis) composes with the
+    int8 graph: GSPMD must halo-exchange the padded int8 convs and
+    reproduce the single-device output (scene-scale serving layout)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coastline.parallel.mesh import make_mesh
+
+    _, v, x = small_model
+    folded = quant.fold_robust_unet(v)
+    scales = quant.calibrate(folded, x, batch_size=2)
+    qp = quant.quantize_folded(folded)
+
+    single = jax.jit(lambda p, xx: quant.int8_forward(p, scales, xx))(qp, x)
+
+    mesh = make_mesh(4, space=2)
+    xsh = NamedSharding(mesh, P("data", "space"))
+
+    @jax.jit
+    def sharded(p, xx):
+        xx = jax.lax.with_sharding_constraint(xx, xsh)
+        return quant.int8_forward(p, scales, xx)
+
+    out = sharded(jax.device_put(qp, NamedSharding(mesh, P())),
+                  jax.device_put(x, xsh))
+    np.testing.assert_allclose(np.asarray(single), np.asarray(out),
+                               atol=2e-3)
