@@ -609,7 +609,11 @@ class QuantizedModel:
 
     def __init__(self, qparams, scales, arch: str = "robust_unet",
                  policy: Optional[Dict] = None):
-        self.qparams = qparams
+        # Commit the tree to device ONCE. A host-numpy tree would re-upload
+        # ~200MB through the tunnel on EVERY call — the exact multiplicative
+        # timing bug of the round-3 post-mortem (docs/QUANT.md), measured
+        # 5.8x on the tiled scene path before this device_put.
+        self.qparams = jax.device_put(qparams)
         self.scales = scales
         self.arch = arch
         self.policy = policy

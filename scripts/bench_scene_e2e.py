@@ -4,7 +4,7 @@ The production scene path (`predict` CLI `--scene`): tile a native-
 resolution scene into 512^2 tiles -> batched jitted forward+argmax ->
 stitch -> coastline band via the (row-banded) Pallas dilation -> host
 contour tracing. This measures each stage at 2048^2 so the artifact shows
-where scene time goes and that the dilation is no longer a bottleneck
+where scene time goes and that the dilation is no longer a bottleneck (and the int8 serving mode runs the same tiled path)
 (it was 97 ms of XLA conv per scene before pallas/morphology.py).
 
 Writes artifacts/scene_e2e.json.
@@ -52,6 +52,8 @@ def main():
     ex = CoastlineExtractor(image_size=512)  # random weights: timing only
 
     t_pred, mask = timed(ex.predict_scene, scene, 8)
+    ex.quantize()  # int8 serving mode on the same tiled path
+    t_pred_int8, _ = timed(ex.predict_scene, scene, 8)
     # band + contours on the scene's TRUE water mask so the artifact shows
     # real coastlines (prediction quality is benched elsewhere)
     t_band, band = timed(lambda m: np.asarray(coastline_band(m, DILATION)), gt_mask)
@@ -61,6 +63,7 @@ def main():
         "scene": f"{SIZE}x{SIZE}",
         "dilation_size": DILATION,
         "predict_scene_ms": round(t_pred * 1e3, 1),
+        "predict_scene_int8_ms": round(t_pred_int8 * 1e3, 1),
         "coastline_band_ms": round(t_band * 1e3, 2),
         "contours_ms": round(t_cont * 1e3, 1),
         "total_ms": round((t_pred + t_band + t_cont) * 1e3, 1),
