@@ -117,3 +117,48 @@ def test_extractor_from_quantized_rejects_wrong_arch(qmodel, tmp_path):
     deploy.save_quantized(path, qm)
     with pytest.raises(ValueError, match="robust_unet"):
         CoastlineExtractor.from_quantized(str(path), image_size=64)
+
+
+def test_export_cli_quantized_out(tmp_path):
+    """Orbax checkpoint -> `cli.export --quantized-out` -> .npz served by
+    the extractor: the one-command deployment-artifact path."""
+    import jax
+    import jax.numpy as jnp
+
+    from coastline.cli.export import main as export_main
+    from coastline.infer.extract import CoastlineExtractor
+    from coastline.models.unet import UNet
+    from coastline.train.checkpoint import CheckpointManager
+
+    model = UNet(n_classes=2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+
+    class _State:
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+
+    ckpt_dir = tmp_path / "models"
+    mgr = CheckpointManager(str(ckpt_dir))
+    assert mgr.maybe_save_best(1, _State, iou=0.9)
+    mgr.close()
+
+    npz = tmp_path / "unet_int8.npz"
+    export_main(["--checkpoint-dir", str(ckpt_dir), "--quantized-out",
+                 str(npz), "--image-size", "64"])
+    ex = CoastlineExtractor.from_quantized(str(npz), image_size=64)
+    rng = np.random.default_rng(0)
+    masks = ex.predict_masks_batch(
+        rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    assert masks.shape == (2, 64, 64) and set(np.unique(masks)) <= {0, 1}
+
+
+def test_export_cli_quantized_rejects_unsupported_arch(tmp_path):
+    from coastline.cli.export import main as export_main
+
+    with pytest.raises(SystemExit, match="no int8 fold"):
+        export_main(["--checkpoint-dir", str(tmp_path), "--quantized-out",
+                     str(tmp_path / "x.npz"), "--arch", "ENet",
+                     "--image-size", "64"])
