@@ -60,10 +60,16 @@ def read_bands(path: str, max_bands: int = 6) -> Tuple[np.ndarray, dict]:
         with rasterio.open(path) as ds:
             count = min(ds.count, max_bands)
             bands = ds.read(list(range(1, count + 1)))
+            # rasterio's Affine iterates (a,b,c,d,e,f) = (px_w, rot, x0,
+            # rot, px_h, y0); normalize to the GDAL GetGeoTransform() order
+            # (x0, px_w, rot, y0, rot, px_h) so "geo_transform" means one
+            # thing regardless of backend (the reference stores GDAL order,
+            # tif_to_image.py:113-128).
+            a, b, c, d, e, f = list(ds.transform)[:6]
             meta = {
                 "size": [ds.width, ds.height],
                 "bands_count": ds.count,
-                "geo_transform": list(ds.transform)[:6],
+                "geo_transform": [c, a, b, f, d, e],
                 "projection": str(ds.crs),
                 "backend": "rasterio",
             }

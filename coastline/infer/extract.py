@@ -164,17 +164,22 @@ class CoastlineExtractor:
         return ex
 
     # ------------------------------------------------------------------ io
-    def _load_image(self, image_path: str) -> Image.Image:
+    def _load_image_meta(self, image_path: str):
+        """Load an image plus its raster metadata (geotransform/projection
+        when the source is a georeferenced TIF, else None)."""
         if image_path.lower().endswith((".tif", ".tiff")):
             from coastline.data.geotiff import load_tif_enhanced
 
             try:
-                rgb, _ = load_tif_enhanced(image_path)
-                return Image.fromarray(rgb)
+                rgb, meta = load_tif_enhanced(image_path)
+                return Image.fromarray(rgb), meta
             except Exception as e:
                 print(f"TIF load failed {image_path}: {e}")
-                return Image.new("RGB", (512, 512), (0, 0, 0))
-        return Image.open(image_path).convert("RGB")
+                return Image.new("RGB", (512, 512), (0, 0, 0)), None
+        return Image.open(image_path).convert("RGB"), None
+
+    def _load_image(self, image_path: str) -> Image.Image:
+        return self._load_image_meta(image_path)[0]
 
     # ------------------------------------------------------------- predict
     def predict_mask(self, image: Image.Image) -> np.ndarray:
@@ -207,8 +212,9 @@ class CoastlineExtractor:
         for i in range(0, tiles.shape[0], batch):
             chunk = tiles[i : i + batch]
             pad = batch - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+            if pad:  # pad to the one compiled batch shape (pad may exceed len)
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
             masks = self.predict_masks_batch(chunk)
             outs.append(masks[: batch - pad] if pad else masks)
         return stitch_tiles(np.concatenate(outs), grid)
@@ -219,7 +225,7 @@ class CoastlineExtractor:
         dilation_size: int = 5,
     ) -> Optional[dict]:
         try:
-            image = self._load_image(image_path)
+            image, meta = self._load_image_meta(image_path)
             water_mask = self.predict_mask(image)
             band = np.asarray(coastline_band(water_mask, dilation_size))
             coastlines = extract_contours(band)
@@ -233,6 +239,9 @@ class CoastlineExtractor:
                 "dilation_size": dilation_size,
                 "extraction_time": str(datetime.now()),
             }
+            if meta and meta.get("geo_transform"):
+                result["geo_transform"] = list(meta["geo_transform"])
+                result["projection"] = meta.get("projection")
             if output_dir:
                 self.save_extraction_result(result, output_dir, image)
             return result
@@ -261,6 +270,20 @@ class CoastlineExtractor:
         with open(os.path.join(output_dir, f"{base}_coastlines.json"), "w",
                   encoding="utf-8") as f:
             json.dump(payload, f, indent=2, ensure_ascii=False)
+        if result.get("geo_transform"):
+            # beyond-reference: world-coordinate shorelines (infer/geojson.py)
+            from coastline.infer.geojson import coastlines_to_geojson
+
+            gj = coastlines_to_geojson(
+                result["coastlines"], result["geo_transform"],
+                projection=result.get("projection"),
+                properties={"image_path": result["image_path"],
+                            "dilation_size": result.get("dilation_size", 5)},
+            )
+            if gj is not None:
+                with open(os.path.join(output_dir, f"{base}_coastlines.geojson"),
+                          "w", encoding="utf-8") as f:
+                    json.dump(gj, f, indent=2, ensure_ascii=False)
         try:
             from coastline.report.coastsat_fig import create_analysis_figure
 
@@ -295,12 +318,16 @@ class CoastlineExtractor:
             chunk_paths = image_paths[start : start + batch_size]
             # load only this chunk (O(batch_size) resident images)
             loaded: List[Optional[Image.Image]] = []
+            metas: List[Optional[dict]] = []
             for p in chunk_paths:
                 try:
-                    loaded.append(self._load_image(p))
+                    im, meta = self._load_image_meta(p)
+                    loaded.append(im)
+                    metas.append(meta)
                 except Exception as e:
                     print(f"load failed for {p}: {e}")
                     loaded.append(None)
+                    metas.append(None)
             arr = np.zeros((batch_size, s, s, 3), np.uint8)
             for j, im in enumerate(loaded):
                 if im is not None:
@@ -334,6 +361,9 @@ class CoastlineExtractor:
                         "dilation_size": dilation_size,
                         "extraction_time": str(datetime.now()),
                     }
+                    if metas[j] and metas[j].get("geo_transform"):
+                        result["geo_transform"] = list(metas[j]["geo_transform"])
+                        result["projection"] = metas[j].get("projection")
                     if output_dir:
                         self.save_extraction_result(result, output_dir, image)
                     results.append(result)

@@ -109,6 +109,83 @@ def test_scene_prediction_shape(tmp_path):
     assert set(np.unique(mask)) <= {0, 1}
 
 
+def test_geojson_world_coordinates_exact():
+    """Pixel->world mapping follows the GDAL geotransform at pixel centers;
+    degenerate/absent transforms yield no artifact; <2-point lines drop."""
+    from coastline.infer.geojson import coastlines_to_geojson, pixel_to_world
+
+    # UTM-like: origin (500000, 4000000), 10 m pixels, north-up (GT5 < 0)
+    gt = [500000.0, 10.0, 0.0, 4000000.0, 0.0, -10.0]
+    assert pixel_to_world([[0, 0]], gt) == [[500005.0, 3999995.0]]
+    assert pixel_to_world([[3, 2]], gt) == [[500035.0, 3999975.0]]
+
+    lines = [[[0, 0], [3, 2], [4, 4]], [[7, 7]]]  # 2nd is degenerate
+    gj = coastlines_to_geojson(lines, gt, projection="EPSG:32630",
+                               properties={"image_path": "x.tif"})
+    assert gj["type"] == "FeatureCollection"
+    assert len(gj["features"]) == 1  # single-point line dropped
+    coords = gj["features"][0]["geometry"]["coordinates"]
+    assert coords[0] == [500005.0, 3999995.0]
+    assert coords[1] == [500035.0, 3999975.0]
+    assert gj["properties"]["crs_wkt"] == "EPSG:32630"
+    assert gj["properties"]["image_path"] == "x.tif"
+
+    assert coastlines_to_geojson(lines, None) is None
+    assert coastlines_to_geojson(lines, [0, 0, 0, 0, 0, 0]) is None  # degenerate
+    assert coastlines_to_geojson(lines, [1, 2, 3]) is None  # malformed
+
+
+def test_save_extraction_result_writes_geojson(tmp_path):
+    """A georeferenced result writes {base}_coastlines.geojson next to the
+    pixel-space artifacts; a non-geo result must NOT (pixel coords must
+    never masquerade as world coords)."""
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=64)
+    base_result = {
+        "image_path": "scene.tif",
+        "image_size": [8, 8],
+        "water_mask": np.zeros((8, 8), np.uint8),
+        "coastline_mask": np.zeros((8, 8), np.uint8),
+        "coastlines": [[[0, 0], [3, 2]]],
+        "coastline_count": 1,
+        "dilation_size": 5,
+        "extraction_time": "t",
+    }
+    geo = dict(base_result,
+               geo_transform=[100.0, 2.0, 0.0, 50.0, 0.0, -2.0],
+               projection="EPSG:4326")
+    out = str(tmp_path / "geo")
+    ex.save_extraction_result(geo, out)
+    with open(os.path.join(out, "scene_coastlines.geojson")) as f:
+        gj = json.load(f)
+    assert gj["features"][0]["geometry"]["coordinates"][0] == [101.0, 49.0]
+    assert gj["properties"]["geo_transform"][0] == 100.0
+
+    out2 = str(tmp_path / "nogeo")
+    ex.save_extraction_result(dict(base_result), out2)
+    assert not os.path.exists(os.path.join(out2, "scene_coastlines.geojson"))
+    assert os.path.exists(os.path.join(out2, "scene_coastlines.json"))
+
+
+def test_predict_scene_single_compiled_batch_shape():
+    """Every chunked forward in predict_scene must use the SAME batch shape
+    (short final chunks are zero-padded up to `batch`, even when the pad
+    exceeds the chunk length) — a second shape means a second multi-minute
+    TPU compile in production."""
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=64)
+    seen = []
+    orig = ex.predict_masks_batch
+    ex.predict_masks_batch = lambda a: (seen.append(a.shape), orig(a))[1]
+    # 150x200 @ tile 64 / overlap 16 -> 3x4 = 12 tiles; batch 8 leaves a
+    # final chunk of 4 (pad 4 > remaining would break a zeros_like(chunk[:pad]))
+    scene = np.random.default_rng(0).integers(0, 255, (150, 200, 3), dtype=np.uint8)
+    ex.predict_scene(scene, batch=8, overlap=16)
+    assert len(set(seen)) == 1 and seen[0][0] == 8, seen
+
+
 def test_dilate_binarizes_grayscale_consistently():
     """dilate() is a BINARY-mask op: grayscale inputs are thresholded (>0)
     identically on the Pallas and convolution paths, so results never vary
