@@ -1,0 +1,215 @@
+"""Shoreline-change analysis (infer/change.py) — transects, intersections,
+position time series, migration rates. Pure host geometry; exact answers
+on synthetic shorelines."""
+
+import numpy as np
+import pytest
+
+from coastline.infer.change import (
+    decimal_year,
+    generate_transects,
+    shoreline_change,
+    shoreline_positions,
+    transect_intersections,
+)
+
+
+def test_generate_transects_straight_baseline():
+    """Baseline along +x with spacing 10 → stations at x=0,10,20,30;
+    'both' transects are vertical, centered, of the requested length."""
+    trs = generate_transects([[0, 0], [30, 0]], spacing=10, length=8, side="both")
+    assert len(trs) == 4
+    xs = [t[0][0] for t in trs]
+    assert xs == [0.0, 10.0, 20.0, 30.0]
+    for t in trs:
+        assert t[0][0] == t[1][0]  # vertical
+        assert abs(t[1][1] - t[0][1]) == pytest.approx(8.0)
+        assert (t[0][1] + t[1][1]) / 2 == pytest.approx(0.0)  # centered
+
+    left = generate_transects([[0, 0], [30, 0]], spacing=30, length=5, side="left")
+    # +90° CCW of +x is +y: origin at the station, end at y=+5
+    assert left[0][0] == [0.0, 0.0] and left[0][1] == [0.0, 5.0]
+    right = generate_transects([[0, 0], [30, 0]], spacing=30, length=5, side="right")
+    assert right[0][1] == [0.0, -5.0]
+
+
+def test_generate_transects_degenerate_inputs():
+    assert generate_transects([[0, 0]], 10, 8) == []
+    assert generate_transects([[0, 0], [1, 0]], 0, 8) == []
+    assert generate_transects([[0, 0], [0, 0]], 10, 8) == []  # zero length
+    # repeated interior vertex must not divide by zero
+    trs = generate_transects([[0, 0], [10, 0], [10, 0], [20, 0]], 5, 4)
+    assert len(trs) == 5
+
+
+def test_transect_intersections_chainage():
+    """Chainage is distance from the transect ORIGIN; multiple crossings
+    return ascending; a miss returns []."""
+    tr = [[0, 0], [20, 0]]  # horizontal transect
+    shoreline = [[[5, -3], [5, 3]]]  # vertical line at x=5
+    assert transect_intersections(tr, shoreline) == [pytest.approx(5.0)]
+    two = [[[5, -3], [5, 3]], [[12, -1], [12, 1]]]
+    assert transect_intersections(tr, two) == [pytest.approx(5.0), pytest.approx(12.0)]
+    assert transect_intersections(tr, [[[50, -3], [50, 3]]]) == []
+    # parallel/collinear segments contribute nothing (no unique crossing)
+    assert transect_intersections(tr, [[[1, 0], [9, 0]]]) == []
+    # a crossing exactly at a shared polyline vertex counts once, not twice
+    bent = [[[7, -3], [7, 0], [7, 3]]]
+    assert transect_intersections(tr, bent) == [pytest.approx(7.0)]
+
+
+def test_shoreline_positions_reduce_and_nan():
+    trs = [[[0, 0], [20, 0]], [[0, 5], [20, 5]]]
+    lines = [[[4, -1], [4, 1]], [[10, -1], [10, 1]], [[16, -1], [16, 1]]]
+    med = shoreline_positions(lines, trs, reduce="median")
+    assert med[0] == pytest.approx(10.0)  # median of 4/10/16
+    assert np.isnan(med[1])  # transect at y=5 misses everything
+    assert shoreline_positions(lines, trs, reduce="min")[0] == pytest.approx(4.0)
+    assert shoreline_positions(lines, trs, reduce="max")[0] == pytest.approx(16.0)
+    with pytest.raises(ValueError):
+        shoreline_positions(lines, trs, reduce="mean")
+
+
+def test_decimal_year():
+    assert decimal_year(2020.5) == 2020.5
+    assert decimal_year("2021-01-01") == pytest.approx(2021.0)
+    # 2021-07-02 = 182 days elapsed of 365
+    assert decimal_year("2021-07-02") == pytest.approx(2021 + 182 / 365, abs=1e-9)
+
+
+def test_shoreline_change_linear_migration():
+    """Shoreline advancing 2 units/year is recovered exactly per transect,
+    regardless of input date order."""
+    trs = generate_transects([[0, 0], [0, 30]], spacing=10, length=40, side="left")
+    # baseline along +y; 'left' (+90° CCW of +y) points to -x... verify by origin
+    # -> use explicit horizontal transects instead to keep the test readable
+    trs = [[[0, y], [30, y]] for y in (0, 10, 20)]
+
+    def shoreline_at(x):
+        return [[[x, -5], [x, 25]]]
+
+    series = [
+        {"date": 2002.0, "coastlines": shoreline_at(14.0)},
+        {"date": 2000.0, "coastlines": shoreline_at(10.0)},  # unsorted on purpose
+        {"date": 2001.0, "coastlines": shoreline_at(12.0)},
+    ]
+    res = shoreline_change(series, trs)
+    assert res["dates"] == [2000.0, 2001.0, 2002.0]
+    assert np.allclose(res["positions"], [[10.0] * 3, [12.0] * 3, [14.0] * 3])
+    assert np.allclose(res["rates"], [2.0, 2.0, 2.0])
+    assert res["mean_rate"] == pytest.approx(2.0)
+    assert res["n_transects_with_rate"] == 3
+
+
+def test_shoreline_change_nan_and_insufficient_dates():
+    """A transect that misses on some dates still gets a rate from the
+    remaining >=2 points; one with <2 dated positions gets NaN."""
+    trs = [[[0, 0], [30, 0]], [[0, 50], [30, 50]]]
+    series = [
+        {"date": 2000.0, "coastlines": [[[10, -5], [10, 5]]]},
+        {"date": 2001.0, "coastlines": [[[13, -5], [13, 5]]]},
+        # 2002: shoreline also crosses the y=50 transect (its only hit)
+        {"date": 2002.0, "coastlines": [[[16, -5], [16, 55]], [[16, 55], [16, 60]]]},
+    ]
+    res = shoreline_change(series, trs)
+    assert res["rates"][0] == pytest.approx(3.0)
+    assert np.isnan(res["rates"][1])
+    assert res["n_transects_with_rate"] == 1
+    # positions row for 2002 transect 1 is the real chainage, not NaN
+    assert res["positions"][2][1] == pytest.approx(16.0)
+
+
+def _write_artifact(path, coastlines, flavor="json", gt=None):
+    import json
+
+    if flavor == "json":
+        payload = {"image_path": str(path), "image_size": [64, 64],
+                   "coastlines": coastlines, "coastline_count": len(coastlines),
+                   "dilation_size": 5, "extraction_time": "t"}
+    else:
+        from coastline.infer.geojson import coastlines_to_geojson
+
+        payload = coastlines_to_geojson(coastlines, gt)
+    with open(path, "w") as f:
+        json.dump(payload, f)
+
+
+def test_load_coastlines_artifact_both_flavors(tmp_path):
+    from coastline.infer.change import load_coastlines_artifact, year_from_name
+
+    lines = [[[1, 2], [3, 4], [5, 6]]]
+    _write_artifact(tmp_path / "a_2020_coastlines.json", lines)
+    got, units = load_coastlines_artifact(str(tmp_path / "a_2020_coastlines.json"))
+    assert got == lines and units == "px"
+
+    gt = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]  # identity-ish: world = pixel + 0.5
+    _write_artifact(tmp_path / "a_2021_coastlines.geojson", lines, "geojson", gt)
+    got, units = load_coastlines_artifact(str(tmp_path / "a_2021_coastlines.geojson"))
+    assert units == "m" and got == [[[1.5, 2.5], [3.5, 4.5], [5.5, 6.5]]]
+
+    assert year_from_name("/data/2020/scene_coastlines.json") == 2020.0
+    assert year_from_name("scene_1999.json") == 1999.0
+    assert year_from_name("scene_3001.json") is None
+
+
+def test_change_cli_end_to_end(tmp_path):
+    """Three year-named pixel artifacts -> shoreline_change.json with the
+    exact 2 px/yr rate, plus the figure; auto-baseline, auto-dates."""
+    import json
+
+    from coastline.cli.change import main
+
+    for yr, x in ((2019, 10.0), (2021, 14.0), (2024, 20.0)):
+        _write_artifact(tmp_path / f"scene_{yr}_coastlines.json",
+                        [[[x, 0.0], [x, 100.0]]])
+    out = tmp_path / "chg"
+    rc = main([str(tmp_path / f"scene_{yr}_coastlines.json")
+               for yr in (2019, 2021, 2024)]
+              + ["--spacing", "25", "--length", "60",
+                 "--output-dir", str(out)])
+    assert rc == 0
+    with open(out / "shoreline_change.json") as f:
+        res = json.load(f)
+    assert res["units"] == "px"
+    assert res["dates"] == [2019.0, 2021.0, 2024.0]
+    rates = [r for r in res["rates"] if r is not None]
+    assert rates and all(abs(abs(r) - 2.0) < 1e-9 for r in rates)
+    assert (out / "shoreline_change.png").exists()
+
+
+def test_change_cli_rejects_bad_inputs(tmp_path):
+    from coastline.cli.change import main
+
+    lines = [[[1.0, 0.0], [1.0, 50.0]]]
+    _write_artifact(tmp_path / "a_2020_coastlines.json", lines)
+    _write_artifact(tmp_path / "b_2021_coastlines.geojson", lines, "geojson",
+                    [0.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+    # mixed coordinate flavors
+    assert main([str(tmp_path / "a_2020_coastlines.json"),
+                 str(tmp_path / "b_2021_coastlines.geojson")]) == 2
+    # fewer than 2 inputs
+    assert main([str(tmp_path / "a_2020_coastlines.json")]) == 2
+    # date count mismatch
+    assert main([str(tmp_path / "a_2020_coastlines.json"),
+                 str(tmp_path / "a_2020_coastlines.json"),
+                 "--dates", "2020"]) == 2
+    # no year in the name and no --dates
+    _write_artifact(tmp_path / "noyear_coastlines.json", lines)
+    assert main([str(tmp_path / "a_2020_coastlines.json"),
+                 str(tmp_path / "noyear_coastlines.json")]) == 2
+
+
+def test_shoreline_change_world_coordinates():
+    """Composing with the GeoJSON pixel→world mapping yields rates in
+    metres/year: 2 px/yr at 10 m pixels = 20 m/yr."""
+    from coastline.infer.geojson import pixel_to_world
+
+    gt = [500000.0, 10.0, 0.0, 4000000.0, 0.0, -10.0]
+    trs_px = [[[0, 5], [40, 5]]]
+    trs = [pixel_to_world(t, gt) for t in trs_px]
+    series = []
+    for yr, x in ((2000.0, 10), (2001.0, 12), (2002.0, 14)):
+        line_px = [[x, 0], [x, 10]]
+        series.append({"date": yr, "coastlines": [pixel_to_world(line_px, gt)]})
+    res = shoreline_change(series, trs)
+    assert res["rates"][0] == pytest.approx(20.0)
