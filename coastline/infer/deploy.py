@@ -145,8 +145,11 @@ def export_serving(qm: QuantizedModel, batch_size: int, image_size: int,
 
     x_spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3),
                                   np.float32)
+    # .shape/.dtype attributes avoid materializing the (possibly device-
+    # resident, ~200MB) tree on host just to read its aval.
     q_spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype),
         qm.qparams)
     exp = jexport.export(jax.jit(fn), platforms=platforms)(q_spec, x_spec)
     return bytes(exp.serialize())

@@ -585,8 +585,8 @@ def calibrate(folded, images, batch_size: int = 2,
     for i in range(0, n, batch_size):
         chunk = images[i:i + batch_size]
         if chunk.shape[0] != batch_size:  # keep one compiled shape
-            pad = batch_size - chunk.shape[0]
-            chunk = jnp.concatenate([chunk, chunk[:pad]], axis=0)
+            reps = -(-batch_size // chunk.shape[0])
+            chunk = jnp.concatenate([chunk] * reps, axis=0)[:batch_size]
         stats = jax.device_get(run(folded, jnp.asarray(chunk, jnp.float32)))
         for k, v in stats.items():
             out[k] = max(out.get(k, 0.0), float(v))
