@@ -85,23 +85,35 @@ def main(argv=None):
         return 0 if ok else 1
 
     if args.scene:
+        from datetime import datetime
+
         import numpy as np
-        from PIL import Image
 
         from coastline.infer.contours import extract_contours
         from coastline.infer.morphology import coastline_band
 
-        img = ex._load_image(args.input)
+        img, meta = ex._load_image_meta(args.input)
         scene = np.asarray(img, np.uint8)
         mask = ex.predict_scene(scene)
         band = np.asarray(coastline_band(mask, args.dilation))
         lines = extract_contours(band)
-        os.makedirs(args.output, exist_ok=True)
-        base = os.path.splitext(os.path.basename(args.input))[0]
-        Image.fromarray((mask * 255).astype(np.uint8)).save(
-            os.path.join(args.output, f"{base}_water_mask.png"))
-        Image.fromarray((band * 255).astype(np.uint8)).save(
-            os.path.join(args.output, f"{base}_coastline_mask.png"))
+        # same artifact set as the single-image path (masks, polylines
+        # JSON, analysis figure, GeoJSON when georeferenced) — masks are
+        # already at native scene resolution here
+        result = {
+            "image_path": args.input,
+            "image_size": [scene.shape[1], scene.shape[0]],
+            "water_mask": mask.astype(np.uint8),
+            "coastline_mask": band.astype(np.uint8),
+            "coastlines": lines,
+            "coastline_count": len(lines),
+            "dilation_size": args.dilation,
+            "extraction_time": str(datetime.now()),
+        }
+        if meta and meta.get("geo_transform"):
+            result["geo_transform"] = list(meta["geo_transform"])
+            result["projection"] = meta.get("projection")
+        ex.save_extraction_result(result, args.output, img)
         print(f"scene {scene.shape[1]}x{scene.shape[0]}: "
               f"{len(lines)} coastlines -> {args.output}")
         return 0

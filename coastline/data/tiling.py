@@ -21,6 +21,10 @@ def tile_scene(
     zero-padded; `overlap` keeps context at seams (stitch crops it back)."""
     h, w = image.shape[:2]
     stride = tile - overlap
+    if stride <= 0:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than tile ({tile}); "
+            "the stride between tiles would be <= 0")
     ny = max(1, -(-max(h - overlap, 1) // stride))
     nx = max(1, -(-max(w - overlap, 1) // stride))
     tiles = np.zeros((ny * nx, tile, tile, image.shape[2]), image.dtype)

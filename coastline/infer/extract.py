@@ -203,10 +203,17 @@ class CoastlineExtractor:
         )
 
     def predict_scene(self, scene_u8: np.ndarray, batch: int = 8,
-                      overlap: int = 64) -> np.ndarray:
-        """Full-scene water mask at native resolution via the tile pipeline."""
+                      overlap: Optional[int] = None) -> np.ndarray:
+        """Full-scene water mask at native resolution via the tile pipeline.
+
+        Default seam overlap is tile/8 (64 px at the production 512 tile),
+        scaling with `image_size` so small-tile extractors don't request
+        an overlap as large as the tile itself.
+        """
         from coastline.data.tiling import stitch_tiles, tile_scene
 
+        if overlap is None:
+            overlap = self.image_size // 8
         tiles, grid = tile_scene(scene_u8, self.image_size, overlap)
         outs = []
         for i in range(0, tiles.shape[0], batch):

@@ -65,6 +65,35 @@ def test_predict_cli_random_weights(tmp_path):
     assert os.path.exists(os.path.join(out, "scene_coastlines.json"))
 
 
+def test_predict_cli_scene_full_artifact_set(tmp_path):
+    """--scene (tiled native-resolution mode) writes the SAME artifact set
+    as the single-image path: masks at native scene size, the polylines
+    JSON, and the analysis figure (no geojson for non-geo PNG input)."""
+    import json as _json
+
+    from PIL import Image
+
+    from coastline.cli.predict import main
+    from coastline.data.synthetic import make_scene
+
+    img, _, _ = make_scene(np.random.default_rng(0), size=64)
+    big = np.tile(img, (2, 3, 1))  # 128x192 scene, larger than the 64 tile
+    path = str(tmp_path / "scene.png")
+    Image.fromarray(big).save(path)
+    out = str(tmp_path / "out")
+    rc = main([path, "--random-weights", "--image-size", "64",
+               "--output", out, "--scene", "--dilation", "5"])
+    assert rc == 0
+    mask = np.asarray(Image.open(os.path.join(out, "scene_water_mask.png")))
+    assert mask.shape == (128, 192)  # native resolution, not model size
+    assert os.path.exists(os.path.join(out, "scene_coastline_mask.png"))
+    with open(os.path.join(out, "scene_coastlines.json")) as f:
+        payload = _json.load(f)
+    assert payload["image_size"] == [192, 128]
+    assert payload["dilation_size"] == 5
+    assert not os.path.exists(os.path.join(out, "scene_coastlines.geojson"))
+
+
 def test_predict_cli_int8(tmp_path):
     from PIL import Image
 

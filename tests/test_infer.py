@@ -186,6 +186,22 @@ def test_predict_scene_single_compiled_batch_shape():
     assert len(set(seen)) == 1 and seen[0][0] == 8, seen
 
 
+def test_predict_scene_default_overlap_scales_with_tile():
+    """The default seam overlap is tile/8, so small-tile extractors don't
+    request overlap == tile (which previously made the stride 0 and
+    crashed); tile_scene rejects overlap >= tile with a clear error."""
+    from coastline.data.tiling import tile_scene
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=64)
+    scene = np.random.default_rng(0).integers(0, 255, (100, 130, 3), dtype=np.uint8)
+    mask = ex.predict_scene(scene)  # default overlap: 64//8 = 8
+    assert mask.shape == (100, 130)
+
+    with pytest.raises(ValueError, match="overlap"):
+        tile_scene(scene, tile=64, overlap=64)
+
+
 def test_dilate_binarizes_grayscale_consistently():
     """dilate() is a BINARY-mask op: grayscale inputs are thresholded (>0)
     identically on the Pallas and convolution paths, so results never vary
