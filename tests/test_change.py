@@ -2,6 +2,8 @@
 position time series, migration rates. Pure host geometry; exact answers
 on synthetic shorelines."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -197,6 +199,68 @@ def test_change_cli_rejects_bad_inputs(tmp_path):
     _write_artifact(tmp_path / "noyear_coastlines.json", lines)
     assert main([str(tmp_path / "a_2020_coastlines.json"),
                  str(tmp_path / "noyear_coastlines.json")]) == 2
+
+
+def test_geo_extraction_to_change_rates_end_to_end(tmp_path, monkeypatch):
+    """The full multi-temporal workflow: georeferenced TIF extraction →
+    world-space GeoJSON artifacts for two dates → change CLI → migration
+    rates in metres/yr. The TIF ingest is patched to supply a geotransform
+    (GDAL/rasterio are absent in-container; PIL can't read georef)."""
+    import json
+
+    from PIL import Image
+
+    import coastline.infer.extract as extract_mod
+    from coastline.cli.change import main as change_main
+    from coastline.infer.extract import CoastlineExtractor
+
+    gt = [500000.0, 10.0, 0.0, 4000000.0, 0.0, -10.0]  # 10 m pixels
+
+    ex = CoastlineExtractor(image_size=64)
+    outs = []
+    for yr, split in ((2019, 24), (2022, 30)):  # waterline moves 6 px in 3 yr
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[:, :split] = 200  # bright land, dark water — content is irrelevant;
+        # we patch predict_mask so rates are exact, not model-dependent
+        path = str(tmp_path / f"scene_{yr}.tif")
+        Image.fromarray(img).save(path)
+
+        def fake_load(self, p, _img=img):
+            return Image.fromarray(_img), {"geo_transform": gt,
+                                           "projection": "EPSG:32630"}
+
+        monkeypatch.setattr(extract_mod.CoastlineExtractor,
+                            "_load_image_meta", fake_load)
+        mask = np.zeros((64, 64), np.uint8)
+        for r in range(64):  # jagged waterline: straight 1-px bands compress
+            mask[r, split + (r % 4):] = 1  # to <=10-pt contours and get dropped
+        monkeypatch.setattr(ex, "predict_mask", lambda im, _m=mask: _m)
+        out = str(tmp_path / f"out_{yr}")
+        res = ex.extract_coastline_from_image(path, output_dir=out,
+                                              dilation_size=3)
+        assert res is not None and res["geo_transform"] == gt
+        gj_path = os.path.join(out, f"scene_{yr}_coastlines.geojson")
+        assert os.path.exists(gj_path)
+        outs.append(gj_path)
+
+    # explicit along-shore baseline in world coords (the extracted band
+    # contour is a closed loop, so auto-derivation would point transects
+    # along-shore on its horizontal runs); transects then cross the band
+    # perpendicular to the waterline
+    baseline = "500275,3999995 500275,3999365"
+    chg_dir = str(tmp_path / "chg")
+    rc = change_main(outs + ["--baseline", baseline,
+                             "--spacing", "100", "--length", "800",
+                             "--output-dir", chg_dir])
+    assert rc == 0
+    with open(os.path.join(chg_dir, "shoreline_change.json")) as f:
+        res = json.load(f)
+    assert res["units"] == "m"
+    rates = [r for r in res["rates"] if r == r]
+    # the identical jagged boundary shifts exactly 6 px in 3 years at
+    # 10 m pixels -> every crossing moves exactly 20 m/yr
+    assert rates and all(abs(abs(r) - 20.0) < 1e-6 for r in rates), res["rates"]
+    assert len(rates) >= 4
 
 
 def test_shoreline_change_world_coordinates():
