@@ -79,7 +79,8 @@ class CoastlineExtractor:
             print("WARNING: no checkpoint provided — using random weights")
 
         @jax.jit
-        def _predict(params, batch_stats, x_u8):
+        def _predict(predict_params, x_u8):
+            params, batch_stats = predict_params
             x = x_u8.astype(jnp.float32) / 255.0
             x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
             logits = self.model.apply(
@@ -87,7 +88,15 @@ class CoastlineExtractor:
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-        self._predict = _predict
+        # uniform serving protocol: _predict_fn(predict_params, x_u8),
+        # where predict_params is ALWAYS an argument (never a captured
+        # device tree — those become HLO constants and hang remote
+        # compiles when a larger program, e.g. the device scene pipeline,
+        # traces through this fn)
+        self._predict_fn = _predict
+        self._predict_params = lambda: (
+            self.variables["params"], self.variables["batch_stats"])
+        self._scene_cache = {}
 
     def quantize(self, calib_images_u8: Optional[np.ndarray] = None,
                  batch_size: int = 2, save_to: Optional[str] = None):
@@ -125,7 +134,7 @@ class CoastlineExtractor:
         return self
 
     def _wire_quantized(self, qm) -> None:
-        """Route self._predict through an int8 QuantizedModel."""
+        """Route the serving protocol through an int8 QuantizedModel."""
         from coastline.infer.quant import int8_forward
 
         mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
@@ -138,9 +147,9 @@ class CoastlineExtractor:
                                   policy=qm.policy)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-        # keep the (params, batch_stats, x) call signature of the fp path
-        self._predict = lambda params, batch_stats, x_u8: _predict_q(
-            qm.qparams, x_u8)
+        self._predict_fn = _predict_q
+        self._predict_params = lambda: qm.qparams
+        self._scene_cache = {}  # scene programs trace _predict_fn; rebuild
 
     @classmethod
     def from_quantized(cls, npz_path: str, image_size: int = 512):
@@ -157,7 +166,8 @@ class CoastlineExtractor:
         ex = cls.__new__(cls)
         ex.image_size = image_size
         ex.model = None  # no float model; the int8 graph is the server
-        # call sites index variables[...] before _predict ignores them
+        # kept for introspection; the quantized serving protocol never
+        # reads them (_predict_params returns the int8 tree)
         ex.variables = {"params": None, "batch_stats": None}
         ex._wire_quantized(qm)
         print(f"loaded quantized serving artifact {npz_path}")
@@ -187,33 +197,48 @@ class CoastlineExtractor:
         original_size = image.size  # (W, H)
         resized = image.resize((self.image_size, self.image_size), Image.BILINEAR)
         x = jnp.asarray(np.asarray(resized, np.uint8))[None]
-        mask = np.asarray(
-            self._predict(self.variables["params"], self.variables["batch_stats"], x)
-        )[0]
+        mask = np.asarray(self._predict_fn(self._predict_params(), x))[0]
         mask_img = Image.fromarray(mask).resize(original_size, Image.NEAREST)
         return np.asarray(mask_img, np.uint8)
 
     def predict_masks_batch(self, images_u8: np.ndarray) -> np.ndarray:
         """Batched (N,512,512,3) uint8 -> (N,512,512) masks, one device call."""
         return np.asarray(
-            self._predict(
-                self.variables["params"], self.variables["batch_stats"],
-                jnp.asarray(images_u8),
-            )
+            self._predict_fn(self._predict_params(), jnp.asarray(images_u8))
         )
 
     def predict_scene(self, scene_u8: np.ndarray, batch: int = 8,
-                      overlap: Optional[int] = None) -> np.ndarray:
+                      overlap: Optional[int] = None,
+                      device_pipeline: bool = True) -> np.ndarray:
         """Full-scene water mask at native resolution via the tile pipeline.
 
         Default seam overlap is tile/8 (64 px at the production 512 tile),
         scaling with `image_size` so small-tile extractors don't request
         an overlap as large as the tile itself.
-        """
-        from coastline.data.tiling import stitch_tiles, tile_scene
 
+        `device_pipeline=True` (default) runs tile → forward → stitch as
+        ONE jitted program (infer/scene.py): the scene uploads once and
+        the stitched mask downloads once, instead of per-chunk tile
+        round-trips — bit-identical output (tested), one compile per
+        scene geometry. `False` keeps the host tiling path.
+        """
         if overlap is None:
             overlap = self.image_size // 8
+        if device_pipeline:
+            from coastline.infer.scene import build_scene_fn
+
+            h, w, c = scene_u8.shape
+            key = (h, w, c, self.image_size, overlap, batch)
+            fn = self._scene_cache.get(key)
+            if fn is None:
+                fn = build_scene_fn(self._predict_fn, h, w, c,
+                                    self.image_size, overlap, batch)
+                self._scene_cache[key] = fn
+            return np.asarray(fn(self._predict_params(),
+                                 jnp.asarray(scene_u8)))
+
+        from coastline.data.tiling import stitch_tiles, tile_scene
+
         tiles, grid = tile_scene(scene_u8, self.image_size, overlap)
         outs = []
         for i in range(0, tiles.shape[0], batch):

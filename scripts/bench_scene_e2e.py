@@ -52,8 +52,13 @@ def main():
     ex = CoastlineExtractor(image_size=512)  # random weights: timing only
 
     t_pred, mask = timed(ex.predict_scene, scene, 8)
+    t_pred_host, mask_host = timed(
+        lambda s, b: ex.predict_scene(s, b, device_pipeline=False), scene, 8)
+    np.testing.assert_array_equal(mask, mask_host)  # on-chip path identity
     ex.quantize()  # int8 serving mode on the same tiled path
     t_pred_int8, _ = timed(ex.predict_scene, scene, 8)
+    t_pred_int8_host, _ = timed(
+        lambda s, b: ex.predict_scene(s, b, device_pipeline=False), scene, 8)
     # band + contours on the scene's TRUE water mask so the artifact shows
     # real coastlines (prediction quality is benched elsewhere)
     t_band, band = timed(lambda m: np.asarray(coastline_band(m, DILATION)), gt_mask)
@@ -63,17 +68,23 @@ def main():
         "scene": f"{SIZE}x{SIZE}",
         "dilation_size": DILATION,
         "predict_scene_ms": round(t_pred * 1e3, 1),
+        "predict_scene_host_tiling_ms": round(t_pred_host * 1e3, 1),
         "predict_scene_int8_ms": round(t_pred_int8 * 1e3, 1),
+        "predict_scene_int8_host_tiling_ms": round(t_pred_int8_host * 1e3, 1),
         "coastline_band_ms": round(t_band * 1e3, 2),
         "contours_ms": round(t_cont * 1e3, 1),
         "total_ms": round((t_pred + t_band + t_cont) * 1e3, 1),
         "n_coastlines": len(contours),
-        "note": ("predict_scene and coastline_band times are dominated by "
-                 "host<->device transfers over this container's ~30ms-RTT "
-                 "tunnel (band moves ~20MB round-trip); device time for the "
-                 "row-banded Pallas dilation itself is 0.25 ms at this size "
-                 "vs 97 ms for the XLA convolution it replaced "
-                 "(artifacts/bench_dilate.json)"),
+        "note": ("predict_scene now runs the single-program device pipeline "
+                 "(infer/scene.py): the scene uploads once and the stitched "
+                 "mask downloads once, vs the host tiling path's per-chunk "
+                 "tile round-trips (the *_host_tiling_ms rows; outputs "
+                 "asserted identical on-chip). Remaining time is the one "
+                 "scene upload + mask download over this container's "
+                 "~30ms-RTT tunnel. coastline_band moves ~20MB round-trip; "
+                 "device time for the row-banded Pallas dilation itself is "
+                 "0.25 ms at this size vs 97 ms for the XLA convolution it "
+                 "replaced (artifacts/bench_dilate.json)"),
     }
     OUT.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))

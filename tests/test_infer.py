@@ -169,10 +169,10 @@ def test_save_extraction_result_writes_geojson(tmp_path):
 
 
 def test_predict_scene_single_compiled_batch_shape():
-    """Every chunked forward in predict_scene must use the SAME batch shape
-    (short final chunks are zero-padded up to `batch`, even when the pad
-    exceeds the chunk length) — a second shape means a second multi-minute
-    TPU compile in production."""
+    """Every chunked forward in the host tiling path must use the SAME
+    batch shape (short final chunks are zero-padded up to `batch`, even
+    when the pad exceeds the chunk length) — a second shape means a second
+    multi-minute TPU compile in production."""
     from coastline.infer.extract import CoastlineExtractor
 
     ex = CoastlineExtractor(image_size=64)
@@ -182,8 +182,31 @@ def test_predict_scene_single_compiled_batch_shape():
     # 150x200 @ tile 64 / overlap 16 -> 3x4 = 12 tiles; batch 8 leaves a
     # final chunk of 4 (pad 4 > remaining would break a zeros_like(chunk[:pad]))
     scene = np.random.default_rng(0).integers(0, 255, (150, 200, 3), dtype=np.uint8)
-    ex.predict_scene(scene, batch=8, overlap=16)
+    ex.predict_scene(scene, batch=8, overlap=16, device_pipeline=False)
     assert len(set(seen)) == 1 and seen[0][0] == 8, seen
+
+
+def test_predict_scene_device_pipeline_matches_host():
+    """The single-program device scene pipeline (infer/scene.py) is
+    bit-identical to the host tile/stitch path across awkward geometries:
+    odd sizes, batch padding (n % batch != 0, n < batch), zero overlap,
+    and a scene smaller than the tile."""
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=64)
+    rng = np.random.default_rng(1)
+    for shape, batch, overlap in [
+        ((150, 200, 3), 8, 16),   # 12 tiles, final chunk padded 4->8
+        ((130, 97, 3), 4, 8),     # odd width
+        ((64, 64, 3), 8, 16),     # single tile, n < batch
+        ((200, 150, 3), 5, 0),    # zero overlap, batch 5
+        ((40, 50, 3), 3, 16),     # smaller than the tile
+    ]:
+        scene = rng.integers(0, 255, shape, dtype=np.uint8)
+        dev = ex.predict_scene(scene, batch=batch, overlap=overlap)
+        host = ex.predict_scene(scene, batch=batch, overlap=overlap,
+                                device_pipeline=False)
+        np.testing.assert_array_equal(dev, host, err_msg=str((shape, batch, overlap)))
 
 
 def test_predict_scene_default_overlap_scales_with_tile():
@@ -303,9 +326,21 @@ def test_predict_scene_seam_consistency():
                 acc += pad[:, dy : dy + x.shape[1], dx : dx + x.shape[2]]
         return (acc / 25.0 > 127.0).astype(np.uint8)
 
+    def local_predict_jnp(batch_u8):
+        import jax.numpy as jnp
+
+        x = batch_u8[..., 1].astype(jnp.float32)
+        pad = jnp.pad(x, ((0, 0), (2, 2), (2, 2)))
+        acc = sum(pad[:, dy : dy + x.shape[1], dx : dx + x.shape[2]]
+                  for dy in range(5) for dx in range(5))
+        return (acc / 25.0 > 127.0).astype(jnp.uint8)
+
     class MockExtractor(CoastlineExtractor):
         def __init__(self, tile):
             self.image_size = tile  # skip model/checkpoint init entirely
+            self._scene_cache = {}
+            self._predict_fn = lambda pp, x: local_predict_jnp(x)
+            self._predict_params = lambda: ()
 
         def predict_masks_batch(self, images_u8):
             return local_predict(images_u8)
@@ -319,11 +354,12 @@ def test_predict_scene_seam_consistency():
     scene[..., 1] = np.where(water, 200, 40)
 
     ex = MockExtractor(tile)
-    stitched = ex.predict_scene(scene, batch=4)
     whole = local_predict(scene[None])[0]
-
-    assert stitched.shape == whole.shape == (h, w)
-    np.testing.assert_array_equal(stitched, whole)
+    for device_pipeline in (True, False):  # both scene paths must be seamless
+        stitched = ex.predict_scene(scene, batch=4,
+                                    device_pipeline=device_pipeline)
+        assert stitched.shape == whole.shape == (h, w)
+        np.testing.assert_array_equal(stitched, whole)
     # the synthetic coastline actually crosses interior stitch seams
     # (crop lines sit at multiples of stride=tile-overlap, offset by
     # overlap/2)
