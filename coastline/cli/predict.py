@@ -90,12 +90,11 @@ def main(argv=None):
         import numpy as np
 
         from coastline.infer.contours import extract_contours
-        from coastline.infer.morphology import coastline_band
 
         img, meta = ex._load_image_meta(args.input)
         scene = np.asarray(img, np.uint8)
-        mask = ex.predict_scene(scene)
-        band = np.asarray(coastline_band(mask, args.dilation))
+        # one device program: tile -> forward -> stitch -> coastline band
+        mask, band = ex.predict_scene(scene, with_band=args.dilation)
         lines = extract_contours(band)
         # same artifact set as the single-image path (masks, polylines
         # JSON, analysis figure, GeoJSON when georeferenced) — masks are

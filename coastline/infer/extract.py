@@ -209,7 +209,8 @@ class CoastlineExtractor:
 
     def predict_scene(self, scene_u8: np.ndarray, batch: int = 8,
                       overlap: Optional[int] = None,
-                      device_pipeline: bool = True) -> np.ndarray:
+                      device_pipeline: bool = True,
+                      with_band: Optional[int] = None):
         """Full-scene water mask at native resolution via the tile pipeline.
 
         Default seam overlap is tile/8 (64 px at the production 512 tile),
@@ -221,6 +222,12 @@ class CoastlineExtractor:
         the stitched mask downloads once, instead of per-chunk tile
         round-trips — bit-identical output (tested), one compile per
         scene geometry. `False` keeps the host tiling path.
+
+        `with_band=<dilation_size>` additionally returns the coastline
+        band (reference `predict_coastline.py:599-602`) as a second
+        array; on the device pipeline it is computed INSIDE the scene
+        program (Pallas dilation included), saving the mask download →
+        re-upload round trip a separate `coastline_band` call pays.
         """
         if overlap is None:
             overlap = self.image_size // 8
@@ -228,14 +235,18 @@ class CoastlineExtractor:
             from coastline.infer.scene import build_scene_fn
 
             h, w, c = scene_u8.shape
-            key = (h, w, c, self.image_size, overlap, batch)
+            key = (h, w, c, self.image_size, overlap, batch, with_band)
             fn = self._scene_cache.get(key)
             if fn is None:
                 fn = build_scene_fn(self._predict_fn, h, w, c,
-                                    self.image_size, overlap, batch)
+                                    self.image_size, overlap, batch,
+                                    band_dilation=with_band)
                 self._scene_cache[key] = fn
-            return np.asarray(fn(self._predict_params(),
-                                 jnp.asarray(scene_u8)))
+            out = fn(self._predict_params(), jnp.asarray(scene_u8))
+            if with_band is not None:
+                mask, band = out
+                return np.asarray(mask), np.asarray(band)
+            return np.asarray(out)
 
         from coastline.data.tiling import stitch_tiles, tile_scene
 
@@ -249,7 +260,10 @@ class CoastlineExtractor:
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
             masks = self.predict_masks_batch(chunk)
             outs.append(masks[: batch - pad] if pad else masks)
-        return stitch_tiles(np.concatenate(outs), grid)
+        mask = stitch_tiles(np.concatenate(outs), grid)
+        if with_band is not None:
+            return mask, np.asarray(coastline_band(mask, with_band))
+        return mask
 
     # ------------------------------------------------------------- extract
     def extract_coastline_from_image(

@@ -24,7 +24,7 @@ dynamic shapes; the model weights enter as ARGUMENTS (never captured
 constants — a captured device tree hangs remote compiles, CLAUDE.md).
 """
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ import numpy as np
 def build_scene_fn(
     predict_fn: Callable, h: int, w: int, channels: int,
     tile: int, overlap: int, batch: int,
+    band_dilation: Optional[int] = None,
 ) -> Callable:
     """Compile a (predict_params, scene_u8) -> (h, w) mask program.
 
@@ -42,6 +43,13 @@ def build_scene_fn(
     forward (fp32/bf16 or int8). Grid math mirrors `data.tiling.tile_scene`
     / `stitch_tiles` exactly (same ny/nx, zero padding, half-overlap
     crops, row-major overwrite order).
+
+    With `band_dilation` set, the program also computes the coastline
+    band (`infer.morphology.coastline_band`, the reference's
+    dilated-minus-original boundary, `predict_coastline.py:599-602`)
+    on-device — the Pallas disk dilation runs inside the same program —
+    and returns `(mask, band)`. That saves the mask download → re-upload
+    round trip the separate `coastline_band` call pays at scene scale.
     """
     stride = tile - overlap
     if stride <= 0:
@@ -96,6 +104,11 @@ def build_scene_fn(
         out, _ = jax.lax.scan(
             body, jnp.zeros((hp, wp), masks.dtype),
             (masks, org, jnp.asarray(crops)))
-        return out[:h, :w]
+        mask = out[:h, :w]
+        if band_dilation is None:
+            return mask
+        from coastline.infer.morphology import coastline_band
+
+        return mask, coastline_band(mask, band_dilation)
 
     return run

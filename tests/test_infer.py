@@ -209,6 +209,44 @@ def test_predict_scene_device_pipeline_matches_host():
         np.testing.assert_array_equal(dev, host, err_msg=str((shape, batch, overlap)))
 
 
+def test_predict_scene_with_band_fused_matches_separate():
+    """`with_band=k` fuses the coastline band into the scene program; the
+    (mask, band) pair must equal the separate predict_scene +
+    coastline_band composition, on both pipelines — on a mask with a REAL
+    coastline (a threshold mock predictor), not a trivially empty band."""
+    import jax.numpy as jnp
+
+    from coastline.infer.extract import CoastlineExtractor
+    from coastline.infer.morphology import coastline_band
+
+    class MockExtractor(CoastlineExtractor):
+        def __init__(self, tile):
+            self.image_size = tile  # skip model/checkpoint init entirely
+            self._scene_cache = {}
+            self._predict_fn = lambda pp, x: (
+                x[..., 1] > 127).astype(jnp.uint8)
+            self._predict_params = lambda: ()
+
+        def predict_masks_batch(self, images_u8):
+            return (images_u8[..., 1] > 127).astype(np.uint8)
+
+    ex = MockExtractor(64)
+    rng = np.random.default_rng(2)
+    scene = rng.integers(0, 255, (150, 200, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[:150, :200]
+    water = (yy + 0.3 * xx + 12 * np.sin(xx / 17.0)) > 100  # wavy coastline
+    scene[..., 1] = np.where(water, 200, 40)
+    ref_mask = ex.predict_scene(scene, batch=4, overlap=16)
+    ref_band = np.asarray(coastline_band(ref_mask, 5))
+    assert ref_band.sum() > 100  # the band is non-trivial
+    for device_pipeline in (True, False):
+        mask, band = ex.predict_scene(scene, batch=4, overlap=16,
+                                      device_pipeline=device_pipeline,
+                                      with_band=5)
+        np.testing.assert_array_equal(mask, ref_mask)
+        np.testing.assert_array_equal(band, ref_band)
+
+
 def test_predict_scene_default_overlap_scales_with_tile():
     """The default seam overlap is tile/8, so small-tile extractors don't
     request overlap == tile (which previously made the stride 0 and
