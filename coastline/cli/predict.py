@@ -16,6 +16,44 @@ import os
 import sys
 
 
+def _extract_scene(ex, path, output_dir, dilation):
+    """Native-resolution tiled extraction for one scene.
+
+    One device program: tile -> forward -> stitch -> coastline band
+    (`infer.scene.build_scene_fn`), then host contours and the same
+    artifact set as the single-image path (masks, polylines JSON,
+    analysis figure, GeoJSON when georeferenced) — masks are already at
+    native scene resolution here. Returns the extracted polylines.
+    """
+    from datetime import datetime
+
+    import numpy as np
+
+    from coastline.infer.contours import extract_contours
+
+    img, meta = ex._load_image_meta(path)
+    scene = np.asarray(img, np.uint8)
+    mask, band = ex.predict_scene(scene, with_band=dilation)
+    lines = extract_contours(band)
+    result = {
+        "image_path": path,
+        "image_size": [scene.shape[1], scene.shape[0]],
+        "water_mask": mask.astype(np.uint8),
+        "coastline_mask": band.astype(np.uint8),
+        "coastlines": lines,
+        "coastline_count": len(lines),
+        "dilation_size": dilation,
+        "extraction_time": str(datetime.now()),
+    }
+    if meta and meta.get("geo_transform"):
+        result["geo_transform"] = list(meta["geo_transform"])
+        result["projection"] = meta.get("projection")
+    ex.save_extraction_result(result, output_dir, img)
+    print(f"scene {scene.shape[1]}x{scene.shape[0]}: "
+          f"{len(lines)} coastlines -> {output_dir}")
+    return lines
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input", help="image file or directory")
@@ -43,6 +81,10 @@ def main(argv=None):
     p.add_argument("--quantized", default=None, metavar="NPZ",
                    help="serve directly from a quantized .npz artifact "
                         "(no checkpoint or calibration needed)")
+    p.add_argument("--tta", action="store_true",
+                   help="flip/transpose test-time-augmentation ensemble "
+                        "(8 fused forwards per image; higher accuracy on "
+                        "uncertain boundaries, ~8x device FLOPs)")
     args = p.parse_args(argv)
 
     from coastline.utils.platform import apply_platform_override
@@ -51,7 +93,7 @@ def main(argv=None):
 
     from coastline.infer.extract import CoastlineExtractor
 
-    kwargs = {"image_size": args.image_size}
+    kwargs = {"image_size": args.image_size, "tta": args.tta}
     if args.torch_checkpoint:
         kwargs["torch_checkpoint"] = args.torch_checkpoint
     elif not args.random_weights:
@@ -59,7 +101,7 @@ def main(argv=None):
     try:
         if args.quantized:
             ex = CoastlineExtractor.from_quantized(
-                args.quantized, image_size=args.image_size)
+                args.quantized, image_size=args.image_size, tta=args.tta)
         else:
             ex = CoastlineExtractor(**kwargs)
     except FileNotFoundError as e:
@@ -79,42 +121,28 @@ def main(argv=None):
             print(f"no images found in {args.input}")
             return 1
         print(f"processing {len(paths)} images -> {args.output}")
-        results = ex.extract_batch(paths, args.output, args.dilation)
-        ok = sum(r is not None for r in results)
+        if args.scene:
+            # native-resolution tiled mode per file (the per-year workflow
+            # feeding cli.change); the compiled scene program is cached per
+            # geometry, so same-sized yearly scenes compile once. Matches
+            # extract_batch's per-image error contract: one bad file never
+            # aborts the directory run.
+            ok = 0
+            for path in paths:
+                try:
+                    _extract_scene(ex, path, args.output, args.dilation)
+                    ok += 1
+                except Exception as e:  # noqa: BLE001 — degrade per image
+                    print(f"failed on {path}: {e}")
+        else:
+            results = ex.extract_batch(paths, args.output, args.dilation)
+            ok = sum(r is not None for r in results)
         print(f"done: {ok}/{len(paths)} succeeded")
         return 0 if ok else 1
 
     if args.scene:
-        from datetime import datetime
-
-        import numpy as np
-
-        from coastline.infer.contours import extract_contours
-
-        img, meta = ex._load_image_meta(args.input)
-        scene = np.asarray(img, np.uint8)
-        # one device program: tile -> forward -> stitch -> coastline band
-        mask, band = ex.predict_scene(scene, with_band=args.dilation)
-        lines = extract_contours(band)
-        # same artifact set as the single-image path (masks, polylines
-        # JSON, analysis figure, GeoJSON when georeferenced) — masks are
-        # already at native scene resolution here
-        result = {
-            "image_path": args.input,
-            "image_size": [scene.shape[1], scene.shape[0]],
-            "water_mask": mask.astype(np.uint8),
-            "coastline_mask": band.astype(np.uint8),
-            "coastlines": lines,
-            "coastline_count": len(lines),
-            "dilation_size": args.dilation,
-            "extraction_time": str(datetime.now()),
-        }
-        if meta and meta.get("geo_transform"):
-            result["geo_transform"] = list(meta["geo_transform"])
-            result["projection"] = meta.get("projection")
-        ex.save_extraction_result(result, args.output, img)
-        print(f"scene {scene.shape[1]}x{scene.shape[0]}: "
-              f"{len(lines)} coastlines -> {args.output}")
+        lines = _extract_scene(ex, args.input, args.output, args.dilation)
+        print(f"extracted {len(lines)} coastlines from scene {args.input}")
         return 0
 
     result = ex.extract_coastline_from_image(args.input, args.output, args.dilation)

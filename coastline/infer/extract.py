@@ -29,6 +29,47 @@ from coastline.infer.morphology import coastline_band
 from coastline.models.unet import UNet
 
 
+def _make_predict_fn(logits_fn, tta: bool = False):
+    """Build the jitted serving fn (predict_params, x_u8) -> uint8 masks.
+
+    `logits_fn(predict_params, x_normalized) -> (N,H,W,2)` supplies the
+    model forward (float or int8 graph). With `tta=True` the mask comes
+    from an 8-term flip/transpose (D4 symmetry-group) ensemble fused into
+    the SAME jitted program: class probabilities are averaged in f32 over
+    identity, H-flip, V-flip, 180°, transpose, and the three
+    transpose+flip compositions, each inverted before averaging. One
+    compile, 8x the FLOPs — on this bandwidth-bound model that is the
+    cheap direction to spend TPU headroom for accuracy (the MXU sits at
+    ~38% in eval, docs/TRAIN_ROOFLINE.md). The reference has no ensemble
+    inference path.
+    """
+    mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
+
+    def predict(predict_params, x_u8):
+        x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+        if not tta:
+            return jnp.argmax(
+                logits_fn(predict_params, x), axis=-1).astype(jnp.uint8)
+
+        def probs_of(xi):
+            return jax.nn.softmax(
+                logits_fn(predict_params, xi).astype(jnp.float32), axis=-1)
+
+        acc = probs_of(x)
+        for axes in ((1,), (2,), (1, 2)):
+            acc = acc + jnp.flip(probs_of(jnp.flip(x, axes)), axes)
+        # square inputs also get the transposed half of the D4 group
+        if x.shape[1] == x.shape[2]:
+            xt = jnp.swapaxes(x, 1, 2)
+            acc = acc + jnp.swapaxes(probs_of(xt), 1, 2)
+            for axes in ((1,), (2,), (1, 2)):
+                p = jnp.flip(probs_of(jnp.flip(xt, axes)), axes)
+                acc = acc + jnp.swapaxes(p, 1, 2)
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+
+    return jax.jit(predict)
+
+
 class CoastlineExtractor:
     def __init__(
         self,
@@ -37,9 +78,11 @@ class CoastlineExtractor:
         torch_checkpoint: Optional[str] = None,
         dtype=jnp.float32,
         image_size: int = 512,
+        tta: bool = False,
     ):
         self.model = UNet(n_classes=2, dtype=dtype)
         self.image_size = image_size
+        self.tta = tta
         if variables is not None:
             self.variables = variables
         elif torch_checkpoint is not None:
@@ -78,15 +121,13 @@ class CoastlineExtractor:
             self.variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
             print("WARNING: no checkpoint provided — using random weights")
 
-        @jax.jit
-        def _predict(predict_params, x_u8):
+        def _logits(predict_params, x):
             params, batch_stats = predict_params
-            x = x_u8.astype(jnp.float32) / 255.0
-            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-            logits = self.model.apply(
+            return self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False
             )
-            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        _predict = _make_predict_fn(_logits, tta=self.tta)
 
         # uniform serving protocol: _predict_fn(predict_params, x_u8),
         # where predict_params is ALWAYS an argument (never a captured
@@ -137,22 +178,20 @@ class CoastlineExtractor:
         """Route the serving protocol through an int8 QuantizedModel."""
         from coastline.infer.quant import int8_forward
 
-        mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
         self.quantized = qm
 
-        @jax.jit
-        def _predict_q(qparams, x_u8):
-            x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
-            logits = int8_forward(qparams, qm.scales, x, arch=qm.arch,
-                                  policy=qm.policy)
-            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        def _logits_q(qparams, x):
+            return int8_forward(qparams, qm.scales, x, arch=qm.arch,
+                                policy=qm.policy)
 
-        self._predict_fn = _predict_q
+        self._predict_fn = _make_predict_fn(
+            _logits_q, tta=getattr(self, "tta", False))
         self._predict_params = lambda: qm.qparams
         self._scene_cache = {}  # scene programs trace _predict_fn; rebuild
 
     @classmethod
-    def from_quantized(cls, npz_path: str, image_size: int = 512):
+    def from_quantized(cls, npz_path: str, image_size: int = 512,
+                       tta: bool = False):
         """Serve directly from a `save_quantized` .npz — no float
         checkpoint, Python weights tree, or calibration data needed
         (the deployment-host path; see docs/QUANT.md)."""
@@ -165,6 +204,7 @@ class CoastlineExtractor:
                 "extractor's 2-class argmax pipeline expects arch 'unet'")
         ex = cls.__new__(cls)
         ex.image_size = image_size
+        ex.tta = tta
         ex.model = None  # no float model; the int8 graph is the server
         # kept for introspection; the quantized serving protocol never
         # reads them (_predict_params returns the int8 tree)

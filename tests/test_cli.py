@@ -243,3 +243,31 @@ def test_full_pipeline_chain(tmp_path):
     assert "coastlines" in payload and "image_size" in payload
     figs = glob.glob(os.path.join(results, "scene_00*analysis*.png"))
     assert figs, os.listdir(results)
+
+
+def test_predict_cli_batch_scene(tmp_path):
+    """--batch --scene runs the native-resolution tiled pipeline per file
+    (the per-year workflow feeding cli.change) instead of silently falling
+    back to the 512-downscale batch path, and one corrupt file degrades to
+    a per-image failure rather than aborting the directory run."""
+    from PIL import Image
+
+    from coastline.cli.predict import main
+    from coastline.data.synthetic import make_scene
+
+    img, _, _ = make_scene(np.random.default_rng(0), size=64)
+    big = np.tile(img, (2, 3, 1))  # 128x192, larger than the 64 tile
+    d = tmp_path / "years"
+    d.mkdir()
+    for year in (2020, 2021):
+        Image.fromarray(big).save(str(d / f"{year}.png"))
+    (d / "2022.png").write_bytes(b"not a png")
+    out = str(tmp_path / "out")
+    rc = main([str(d), "--batch", "--scene", "--random-weights",
+               "--image-size", "64", "--output", out, "--dilation", "5"])
+    assert rc == 0  # two successes, one per-image failure
+    for year in (2020, 2021):
+        mask = np.asarray(Image.open(os.path.join(out, f"{year}_water_mask.png")))
+        assert mask.shape == (128, 192)  # native resolution per scene
+        assert os.path.exists(os.path.join(out, f"{year}_coastlines.json"))
+    assert not os.path.exists(os.path.join(out, "2022_water_mask.png"))

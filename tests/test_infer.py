@@ -406,3 +406,82 @@ def test_predict_scene_seam_consistency():
     assert any(
         water[:, s].any() and (~water[:, s]).any() for s in seam_cols
     ), seam_cols
+
+
+def _manual_tta_mask(ex, x_u8):
+    """Reference TTA composition computed with 8 separate forwards + numpy
+    transforms — the fused program must match this exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from coastline.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    x = (jnp.asarray(x_u8, jnp.float32) / 255.0
+         - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    def probs(xi):
+        logits = ex.model.apply(
+            {"params": ex.variables["params"],
+             "batch_stats": ex.variables["batch_stats"]}, xi, train=False)
+        return np.asarray(jax.nn.softmax(logits.astype(jnp.float32), -1))
+
+    xn = np.asarray(x)
+    acc = probs(jnp.asarray(xn))
+    for axes in ((1,), (2,), (1, 2)):
+        acc = acc + np.flip(probs(jnp.asarray(np.flip(xn, axes))), axes)
+    if xn.shape[1] == xn.shape[2]:
+        xt = np.swapaxes(xn, 1, 2)
+        acc = acc + np.swapaxes(probs(jnp.asarray(xt)), 1, 2)
+        for axes in ((1,), (2,), (1, 2)):
+            p = np.flip(probs(jnp.asarray(np.flip(xt, axes))), axes)
+            acc = acc + np.swapaxes(p, 1, 2)
+    return np.argmax(acc, -1).astype(np.uint8)
+
+
+def test_tta_fused_matches_manual_composition():
+    """tta=True fuses the 8-term D4 flip/transpose ensemble into one jitted
+    program; it must equal the manual 8-forward numpy composition, and on a
+    non-square input only the 4 flip terms apply."""
+    from coastline.infer.extract import CoastlineExtractor, _make_predict_fn
+
+    ex = CoastlineExtractor(image_size=32, tta=True)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    got = ex.predict_masks_batch(x)
+    assert got.dtype == np.uint8 and got.shape == (2, 32, 32)
+    # fused-vs-eager forwards differ in float low bits, which can flip
+    # argmax on near-tie pixels of a random-weight model; a composition
+    # bug (wrong inverse transform) mismatches a large fraction
+    assert (got != _manual_tta_mask(ex, x)).mean() < 0.01
+
+    # non-square: the transpose half of the group is skipped, still exact
+    def logits(pp, xi):
+        params, batch_stats = pp
+        return ex.model.apply(
+            {"params": params, "batch_stats": batch_stats}, xi, train=False)
+
+    fn = _make_predict_fn(logits, tta=True)
+    xr = rng.integers(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    got_r = np.asarray(fn(ex._predict_params(), xr))
+    assert got_r.shape == (1, 32, 64)
+    assert (got_r != _manual_tta_mask(ex, xr)).mean() < 0.01
+
+
+def test_tta_quantized_path():
+    """tta composes with the int8 serving graph (the ensemble wraps
+    whatever logits function serves) and output is flip-coherent: feeding
+    a flipped input returns the flipped mask (D4 ensemble invariance)."""
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=32, tta=True)
+    ex.quantize(batch_size=2)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+    m = ex.predict_masks_batch(x)
+    assert m.dtype == np.uint8 and m.shape == (1, 32, 32)
+    for axes in ((1,), (2,)):
+        # D4-ensemble equivariance: predict(flip(x)) == flip(predict(x))
+        # up to float-tie pixels (the two sides sum the same 8 terms in a
+        # different order)
+        mf = ex.predict_masks_batch(np.flip(x, axes))
+        assert (mf != np.flip(m, axes)).mean() < 0.01
