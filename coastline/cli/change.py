@@ -101,6 +101,9 @@ def main(argv=None):
               "use one flavor")
         return 2
     units = units_seen.pop()
+    # keep the artifact's "inputs" aligned row-for-row with the
+    # date-sorted "dates"/"positions" shoreline_change emits
+    series.sort(key=lambda e: e["date"])
 
     if args.baseline:
         baseline = _parse_baseline(args.baseline)

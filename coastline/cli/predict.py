@@ -83,8 +83,9 @@ def main(argv=None):
                         "(no checkpoint or calibration needed)")
     p.add_argument("--tta", action="store_true",
                    help="flip/transpose test-time-augmentation ensemble "
-                        "(8 fused forwards per image; higher accuracy on "
-                        "uncertain boundaries, ~8x device FLOPs)")
+                        "(8 fused forwards, ~8.4x device cost; neutral on "
+                        "clean data, can recover degraded/noisy inputs — "
+                        "measured in artifacts/tta_eval.json)")
     args = p.parse_args(argv)
 
     from coastline.utils.platform import apply_platform_override

@@ -198,7 +198,10 @@ def decimal_year(date) -> float:
     if isinstance(date, (int, float)):
         return float(date)
     if isinstance(date, str):
-        date = datetime.fromisoformat(date)
+        try:  # plain/decimal year strings ("2019", "2019.5") pass through
+            return float(date)
+        except ValueError:
+            date = datetime.fromisoformat(date)
     start = datetime(date.year, 1, 1)
     end = datetime(date.year + 1, 1, 1)
     return date.year + (date - start).total_seconds() / (end - start).total_seconds()

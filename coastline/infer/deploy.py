@@ -82,6 +82,10 @@ def save_quantized(path, qm: QuantizedModel, slim: bool = True) -> None:
         kh, kw, cin, cout = node["w"].shape
         if key in keep or min(cin, cout) < policy["conv_min_ch"]:
             return node
+        # transposed convs ("up*" entries in every arch forward, quant.py)
+        # read the f32 w whenever the policy keeps them off the int8 path
+        if key.startswith("up") and not policy["convT_int8"]:
+            return node
         return {k: v for k, v in node.items() if k != "w"}
 
     flat: Dict[str, np.ndarray] = {}

@@ -37,11 +37,15 @@ def _make_predict_fn(logits_fn, tta: bool = False):
     from an 8-term flip/transpose (D4 symmetry-group) ensemble fused into
     the SAME jitted program: class probabilities are averaged in f32 over
     identity, H-flip, V-flip, 180°, transpose, and the three
-    transpose+flip compositions, each inverted before averaging. One
-    compile, 8x the FLOPs — on this bandwidth-bound model that is the
-    cheap direction to spend TPU headroom for accuracy (the MXU sits at
-    ~38% in eval, docs/TRAIN_ROOFLINE.md). The reference has no ensemble
-    inference path.
+    transpose+flip compositions, each inverted before averaging.
+
+    Measured on-chip on trained flagships (scripts/eval_tta.py,
+    artifacts/tta_eval.json): cost is ~8.4x (the model is bandwidth-bound,
+    so 8 forwards cost 8x traffic); accuracy is NEUTRAL on clean protocol
+    data (delta -3e-4..-1e-4 IoU) and situational under input corruption —
+    it recovered one noise-degraded seed by +0.13 IoU while slightly
+    hurting another. Default off; a robustness option for degraded inputs,
+    not a free accuracy knob. The reference has no ensemble inference path.
     """
     mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
 

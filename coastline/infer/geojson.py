@@ -51,8 +51,11 @@ def coastlines_to_geojson(
     """
     if geo_transform is None or len(geo_transform) != 6:
         return None
-    if geo_transform[1] == 0 and geo_transform[2] == 0:
-        return None  # degenerate: no pixel size, not a georeferenced raster
+    if (geo_transform[1] == 0 and geo_transform[2] == 0) or (
+            geo_transform[4] == 0 and geo_transform[5] == 0):
+        return None  # degenerate row (no pixel size on X or Y): not a
+        # georeferenced raster — a zero Y row would silently collapse
+        # every vertex to Y=GT3
     features = []
     for i, line in enumerate(coastlines):
         if len(line) < 2:

@@ -52,7 +52,11 @@ def plot_shoreline_change(
     ax_map.set_title("Shorelines by date (transects in grey)")
     ax_map.set_xlabel(f"x [{units}]")
     ax_map.set_ylabel(f"y [{units}]")
-    ax_map.invert_yaxis()  # raster convention: row grows downward
+    if units == "px":
+        # raster convention: row grows downward. World coordinates
+        # (geojson artifacts, units "m": northing grows upward) keep the
+        # natural axis — inverting would mirror the map north-south.
+        ax_map.invert_yaxis()
     ax_map.set_aspect("equal", adjustable="datalim")
     ax_map.legend(fontsize=8, title="date")
 

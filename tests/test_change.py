@@ -277,3 +277,76 @@ def test_shoreline_change_world_coordinates():
         series.append({"date": yr, "coastlines": [pixel_to_world(line_px, gt)]})
     res = shoreline_change(series, trs)
     assert res["rates"][0] == pytest.approx(20.0)
+
+
+def test_decimal_year_numeric_strings():
+    """--dates advertises decimal years; plain-year and decimal-year
+    STRINGS must parse instead of crashing in fromisoformat."""
+    from coastline.infer.change import decimal_year
+
+    assert decimal_year("2019") == 2019.0
+    assert decimal_year("2019.5") == 2019.5
+    assert abs(decimal_year("2019-07-02") - 2019.5) < 0.01
+
+
+def test_change_cli_inputs_aligned_with_sorted_dates(tmp_path):
+    """Artifacts passed out of date order: the JSON's 'inputs' list must be
+    re-sorted to align row-for-row with 'dates'/'positions'."""
+    import json
+
+    import numpy as np
+
+    from coastline.cli.change import main
+
+    # horizontal shorelines at y=30 (2024) and y=10 (2019), passed in
+    # REVERSED date order
+    for year, y in ((2024, 30.0), (2019, 10.0)):
+        payload = {"coastlines": [[[-50.0, y], [50.0, y]]]}
+        with open(tmp_path / f"{year}_coastlines.json", "w") as f:
+            json.dump(payload, f)
+    out = tmp_path / "out"
+    rc = main([str(tmp_path / "2024_coastlines.json"),
+               str(tmp_path / "2019_coastlines.json"),
+               "--baseline", "0,0 40,0", "--spacing", "10",
+               "--length", "200", "--output-dir", str(out)])
+    assert rc == 0
+    with open(out / "shoreline_change.json") as f:
+        res = json.load(f)
+    assert res["dates"] == [2019.0, 2024.0]
+    assert [("2019" in p) for p in res["inputs"]] == [True, False]
+    # positions row 0 = the 2019 shoreline: transects run (x,-100)->(x,100),
+    # so a y=10 shoreline sits at chainage 110; 2024's y=30 at 130
+    pos = np.asarray(res["positions"], dtype=np.float64)
+    v0, v1 = ~np.isnan(pos[0]), ~np.isnan(pos[1])
+    assert v0.any() and v1.any()
+    assert np.allclose(pos[0][v0], 110.0)
+    assert np.allclose(pos[1][v1], 130.0)
+
+
+def test_change_fig_world_units_keep_natural_y_axis(tmp_path, monkeypatch):
+    """Pixel artifacts render in raster convention (y inverted); world
+    (metre) artifacts must NOT be mirrored north-south."""
+    import coastline.report.change_fig as cf
+
+    captured = {}
+    orig = cf.plt.subplots
+
+    def spy(*a, **k):
+        fig, axes = orig(*a, **k)
+        captured["map_ax"] = axes[0]
+        return fig, axes
+
+    monkeypatch.setattr(cf.plt, "subplots", spy)
+    series = [
+        {"date": 2019.0, "coastlines": [[[0.0, 10.0], [50.0, 10.0]]]},
+        {"date": 2024.0, "coastlines": [[[0.0, 30.0], [50.0, 30.0]]]},
+    ]
+    from coastline.infer.change import generate_transects, shoreline_change
+
+    tr = generate_transects([[0.0, 0.0], [50.0, 0.0]], 10.0, 100.0)
+    change = shoreline_change(series, tr)
+    for units, inverted in (("px", True), ("m", False)):
+        cf.plot_shoreline_change(series, change,
+                                 str(tmp_path / f"fig_{units}.png"),
+                                 units=units)
+        assert captured["map_ax"].yaxis_inverted() == inverted, units

@@ -162,3 +162,21 @@ def test_export_cli_quantized_rejects_unsupported_arch(tmp_path):
         export_main(["--checkpoint-dir", str(tmp_path), "--quantized-out",
                      str(tmp_path / "x.npz"), "--arch", "ENet",
                      "--image-size", "64"])
+
+
+def test_slim_respects_convT_policy(qmodel, tmp_path):
+    """With convT_int8=False the float path of the transposed convs reads
+    entry['w']; slimming must keep those weights so the saved policy stays
+    bit-exact (it used to drop them and silently serve the dequantized
+    approximation)."""
+    qm, x = qmodel
+    qm_f = quant.QuantizedModel(
+        jax.tree_util.tree_map(np.asarray, qm.qparams), qm.scales,
+        arch=qm.arch, policy={"convT_int8": False})
+    ref = np.asarray(qm_f(x))
+    path = tmp_path / "noconvt.npz"
+    deploy.save_quantized(path, qm_f, slim=True)
+    back = deploy.load_quantized(path)
+    for i in range(4):  # the up* f32 weights survived slimming
+        assert "w" in back.qparams[f"up{i}"]
+    np.testing.assert_array_equal(ref, np.asarray(back(x)))

@@ -132,6 +132,9 @@ def test_geojson_world_coordinates_exact():
 
     assert coastlines_to_geojson(lines, None) is None
     assert coastlines_to_geojson(lines, [0, 0, 0, 0, 0, 0]) is None  # degenerate
+    # zero Y row would collapse every vertex to Y=GT3 — also degenerate
+    assert coastlines_to_geojson(lines, [5, 10, 0, 7, 0, 0]) is None
+    assert coastlines_to_geojson(lines, [5, 0, 0, 7, 0, -10]) is None
     assert coastlines_to_geojson(lines, [1, 2, 3]) is None  # malformed
 
 
@@ -485,3 +488,26 @@ def test_tta_quantized_path():
         # different order)
         mf = ex.predict_masks_batch(np.flip(x, axes))
         assert (mf != np.flip(m, axes)).mean() < 0.01
+
+
+def test_tta_eval_artifact():
+    """The on-chip TTA measurement artifact: structure + the honest claims
+    the docs make from it (clean delta is neutral within 1e-3; the 8-term
+    ensemble costs roughly 8 forwards)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "tta_eval.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("tta_eval.json not generated (run scripts/eval_tta.py)")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["seeds"], "no seeds measured"
+    assert abs(art["clean_delta_worst"]) < 1e-3  # neutral on clean data
+    assert 4.0 <= art["tta_cost_factor"] <= 16.0
+    for row in art["seeds"]:
+        for cond in ("clean", "noise16", "noise32"):
+            assert 0.0 <= row[f"{cond}_tta_iou"] <= 1.0
