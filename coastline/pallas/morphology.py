@@ -41,6 +41,11 @@ of the SE row-radius — exact, so native-resolution scene masks (the
 CoastlineExtractor path dilates at ORIGINAL image size) stay on this
 kernel instead of falling back to the convolution; on-chip cv2 parity is
 asserted for the banded path at 512^2/size41 and 2048^2/sizes 20+41.
+Masks whose lane-padded WIDTH alone overflows the budget (a full
+Sentinel-2 granule is 10980 px wide) are banded along BOTH axes with an
+exact horizontal halo of the SE column reach (`_dilate_banded2d`), so
+granule-scale dilation stays on the kernel too; only enormous structuring
+elements (no valid 2D block) fall back to the convolution.
 """
 
 import functools
@@ -155,21 +160,49 @@ def _pad_w(w: int, hi_max: int) -> int:
 
 
 def _plan(shape, groups):
-    """(band_rows, vmax, hi_max) for the given mask shape, or None when even
-    an 8-row band of the (lane-padded) width overflows the VMEM budget.
-    band_rows == h means a single un-tiled call."""
+    """(band_rows, band_cols, vmax, hi_max, halo_l) for the given mask shape,
+    or None when even a minimal 2D block overflows the VMEM budget (only
+    enormous structuring elements). band_rows == h means a single un-tiled
+    call; band_cols is None unless the (lane-padded) width alone overflows
+    the budget, in which case columns are banded too with an exact
+    horizontal halo (halo_l left, hi_max right) — full-width Sentinel-2
+    granules (10980 px) take this path instead of falling back to the XLA
+    convolution."""
     h, w = shape[-2], shape[-1]
     hi_max = max((max(hi, 0) for (_, hi), _ in groups), default=0)
+    halo_l = -min((min(lo, 0) for (lo, _), _ in groups), default=0)
     vmax = max((abs(s) for _, vs in groups for s in vs), default=0)
     w_pad = w + _pad_w(w, hi_max)
     budget = _budget_px(vmax)
     if (h + (-h % 8)) * w_pad <= budget:
-        return h, vmax, hi_max
+        return h, None, vmax, hi_max, halo_l
     halo8 = 2 * vmax + (-2 * vmax % 8)  # halo rounded up so bh pads to <= budget
     band = (budget // w_pad - halo8) // 8 * 8
-    if band < 8:
+    if band >= 8:
+        return band, None, vmax, hi_max, halo_l
+    # 2D banding: pick the column-band width whose (sublane/lane-padded
+    # block px) / (valid px) overhead is smallest. These block shapes are
+    # novel (the 40.5+vmax bytes/px stack fit was measured on full-width
+    # blocks), so plan 5% under the budget — a failed remote compile
+    # wedges this container's tunnel for ~50 min, and the perf cost of
+    # slightly smaller blocks is negligible.
+    budget = budget * 95 // 100
+    best = None
+    for bw in (128, 256, 512, 1024, 2048, 4096):
+        if bw >= w:
+            break
+        blk_w = halo_l + bw + hi_max
+        bw_p = blk_w + (-blk_w % 128)
+        bh = (budget // bw_p - halo8) // 8 * 8
+        if bh < 8:
+            continue
+        bh_p = bh + 2 * vmax + (-(bh + 2 * vmax) % 8)
+        score = (bh_p * bw_p) / (bh * bw)
+        if best is None or score < best[0]:
+            best = (score, bh, bw)
+    if best is None:
         return None
-    return band, vmax, hi_max
+    return best[1], best[2], vmax, hi_max, halo_l
 
 
 def fits_vmem(shape, kernel=None) -> bool:
@@ -177,6 +210,37 @@ def fits_vmem(shape, kernel=None) -> bool:
     if kernel is not None:
         groups = _se_row_groups(np.asarray(kernel))
     return _plan(shape, groups) is not None
+
+
+def _dilate_banded2d(xf, groups, band_h: int, band_w: int, vmax: int,
+                     halo_l: int, hi_max: int, interpret: bool):
+    """Exact 2D-banded dilation for masks whose (lane-padded) WIDTH alone
+    overflows the VMEM budget: blocks carry a vertical halo of the SE
+    row-radius AND a horizontal halo (halo_l left / hi_max right — the SE
+    column reach), so every valid output pixel sees its full dependency
+    cone; halo/pad pixels are recomputed by the neighboring block and
+    cropped here."""
+    n, h, w = xf.shape
+    nbh = -(-h // band_h)
+    nbw = -(-w // band_w)
+    bh = band_h + 2 * vmax
+    bh_p = bh + (-bh % 8)
+    bw = halo_l + band_w + hi_max
+    bw_p = bw + (-bw % 128)
+    hp = (nbh - 1) * band_h + bh_p
+    wp = (nbw - 1) * band_w + bw_p
+    xp = jnp.pad(
+        xf, ((0, 0), (vmax, hp - vmax - h), (halo_l, wp - halo_l - w)))
+    rows = (np.arange(nbh) * band_h)[:, None] + np.arange(bh_p)[None, :]
+    cols = (np.arange(nbw) * band_w)[:, None] + np.arange(bw_p)[None, :]
+    blocks = xp[:, jnp.asarray(rows), :][..., jnp.asarray(cols)]
+    blocks = blocks.transpose(0, 1, 3, 2, 4).reshape(n * nbh * nbw, bh_p, bw_p)
+    out = _dilate_call(blocks, groups, interpret=interpret)
+    out = out[:, vmax : vmax + band_h, halo_l : halo_l + band_w]
+    out = (out.reshape(n, nbh, nbw, band_h, band_w)
+              .transpose(0, 1, 3, 2, 4)
+              .reshape(n, nbh * band_h, nbw * band_w))
+    return out[:, :h, :w]
 
 
 def _dilate_banded(xf, groups, band: int, vmax: int, interpret: bool):
@@ -208,20 +272,25 @@ def dilate_disk(mask, kernel: np.ndarray, interpret: bool = False):
     plan = _plan(x.shape, groups)
     if plan is None:
         raise ValueError(
-            f"mask of width {w} exceeds the Pallas VMEM budget; use the "
-            "convolution fallback (infer.morphology.dilate does this)"
+            f"structuring element {kernel.shape} is too large for a minimal "
+            "2D VMEM block; use the convolution fallback "
+            "(infer.morphology.dilate does this)"
         )
-    band, vmax, hi_max = plan
-    pad_w = _pad_w(w, hi_max)
+    band_h, band_w, vmax, hi_max, halo_l = plan
     xf = x.astype(jnp.float32)
-    if pad_w:
-        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, pad_w)))
-    if band >= h:
-        pad_h = -h % 8
-        if pad_h:
-            xf = jnp.pad(xf, ((0, 0), (0, pad_h), (0, 0)))
-        out = _dilate_call(xf, groups, interpret=interpret)
+    if band_w is not None:
+        out = _dilate_banded2d(
+            xf, groups, band_h, band_w, vmax, halo_l, hi_max, interpret)
     else:
-        out = _dilate_banded(xf, groups, band, vmax, interpret)
+        pad_w = _pad_w(w, hi_max)
+        if pad_w:
+            xf = jnp.pad(xf, ((0, 0), (0, 0), (0, pad_w)))
+        if band_h >= h:
+            pad_h = -h % 8
+            if pad_h:
+                xf = jnp.pad(xf, ((0, 0), (0, pad_h), (0, 0)))
+            out = _dilate_call(xf, groups, interpret=interpret)
+        else:
+            out = _dilate_banded(xf, groups, band_h, vmax, interpret)
     out = out[:, :h, :w].astype(mask.dtype)
     return out[0] if squeeze else out

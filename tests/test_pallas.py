@@ -125,15 +125,40 @@ def test_pallas_dilate_row_banded(shape, size):
     np.testing.assert_array_equal(out, ref)
 
 
-def test_pallas_dilate_too_wide_raises_and_gate():
+@pytest.mark.parametrize("shape,size", [((64, 10980), 20), ((48, 25600), 5)])
+def test_pallas_dilate_2d_banded(shape, size):
+    """Masks whose lane-padded WIDTH alone overflows the VMEM budget are
+    banded along BOTH axes with an exact horizontal halo — a full
+    Sentinel-2 granule (10980 px wide) must stay on the kernel, exactly
+    cv2 (right/left edge seeds included)."""
+    cv2 = pytest.importorskip("cv2")
     import numpy as np
 
     from coastline.infer.morphology import elliptical_kernel
     from coastline.pallas import morphology as pm
 
-    ker = elliptical_kernel(5)
-    # width such that even an 8-row band overflows the VMEM budget
-    shape = (16, pm._budget_px(2) // 8 + 256)
+    rng = np.random.default_rng(shape[1] + size)
+    ker = elliptical_kernel(size)
+    plan = pm._plan(shape, pm._se_row_groups(ker))
+    assert plan[1] is not None, "expected a column-banded plan"
+    mask = (rng.random(shape) < 0.01).astype(np.uint8)
+    mask[:, 0] = 1
+    mask[:, -1] = 1
+    mask[-1, :] = 1
+    ref = cv2.dilate(mask, ker, iterations=1)
+    out = np.asarray(pm.dilate_disk(mask, ker, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_dilate_huge_se_raises_and_gate():
+    import numpy as np
+
+    from coastline.infer.morphology import elliptical_kernel
+    from coastline.pallas import morphology as pm
+
+    # an SE so large no valid 2D block fits the VMEM budget
+    ker = elliptical_kernel(701)
+    shape = (64, 4000)
     assert not pm.fits_vmem(shape, ker)
     with pytest.raises(ValueError):
         pm.dilate_disk(np.zeros(shape, np.uint8), ker, interpret=True)
