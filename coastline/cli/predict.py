@@ -17,41 +17,16 @@ import sys
 
 
 def _extract_scene(ex, path, output_dir, dilation):
-    """Native-resolution tiled extraction for one scene.
-
-    One device program: tile -> forward -> stitch -> coastline band
-    (`infer.scene.build_scene_fn`), then host contours and the same
-    artifact set as the single-image path (masks, polylines JSON,
-    analysis figure, GeoJSON when georeferenced) — masks are already at
-    native scene resolution here. Returns the extracted polylines.
-    """
-    from datetime import datetime
-
-    import numpy as np
-
-    from coastline.infer.contours import extract_contours
-
-    img, meta = ex._load_image_meta(path)
-    scene = np.asarray(img, np.uint8)
-    mask, band = ex.predict_scene(scene, with_band=dilation)
-    lines = extract_contours(band)
-    result = {
-        "image_path": path,
-        "image_size": [scene.shape[1], scene.shape[0]],
-        "water_mask": mask.astype(np.uint8),
-        "coastline_mask": band.astype(np.uint8),
-        "coastlines": lines,
-        "coastline_count": len(lines),
-        "dilation_size": dilation,
-        "extraction_time": str(datetime.now()),
-    }
-    if meta and meta.get("geo_transform"):
-        result["geo_transform"] = list(meta["geo_transform"])
-        result["projection"] = meta.get("projection")
-    ex.save_extraction_result(result, output_dir, img)
-    print(f"scene {scene.shape[1]}x{scene.shape[0]}: "
-          f"{len(lines)} coastlines -> {output_dir}")
-    return lines
+    """Native-resolution tiled extraction for one scene (CLI wrapper
+    around `CoastlineExtractor.extract_scene`). Returns the polylines,
+    raising on failure so the caller controls the error contract."""
+    result = ex.extract_scene(path, output_dir, dilation_size=dilation)
+    if result is None:
+        raise RuntimeError(f"scene extraction failed for {path}")
+    w, h = result["image_size"]
+    print(f"scene {w}x{h}: {result['coastline_count']} coastlines "
+          f"-> {output_dir}")
+    return result["coastlines"]
 
 
 def main(argv=None):
@@ -124,17 +99,14 @@ def main(argv=None):
         print(f"processing {len(paths)} images -> {args.output}")
         if args.scene:
             # native-resolution tiled mode per file (the per-year workflow
-            # feeding cli.change); the compiled scene program is cached per
+            # feeding cli.change), software-pipelined: scene N+1 is in
+            # flight on the device while the host traces/saves scene N
+            # (extract_scenes). The compiled scene program is cached per
             # geometry, so same-sized yearly scenes compile once. Matches
             # extract_batch's per-image error contract: one bad file never
             # aborts the directory run.
-            ok = 0
-            for path in paths:
-                try:
-                    _extract_scene(ex, path, args.output, args.dilation)
-                    ok += 1
-                except Exception as e:  # noqa: BLE001 — degrade per image
-                    print(f"failed on {path}: {e}")
+            results = ex.extract_scenes(paths, args.output, args.dilation)
+            ok = sum(r is not None for r in results)
         else:
             results = ex.extract_batch(paths, args.output, args.dilation)
             ok = sum(r is not None for r in results)

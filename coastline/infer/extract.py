@@ -245,11 +245,15 @@ class CoastlineExtractor:
         mask_img = Image.fromarray(mask).resize(original_size, Image.NEAREST)
         return np.asarray(mask_img, np.uint8)
 
+    def predict_masks_batch_async(self, images_u8: np.ndarray):
+        """Dispatch the batched forward and return DEVICE arrays (JAX async
+        futures) — the non-blocking half of `predict_masks_batch`, used by
+        `extract_batch` to overlap host artifact writes with the chip."""
+        return self._predict_fn(self._predict_params(), jnp.asarray(images_u8))
+
     def predict_masks_batch(self, images_u8: np.ndarray) -> np.ndarray:
         """Batched (N,512,512,3) uint8 -> (N,512,512) masks, one device call."""
-        return np.asarray(
-            self._predict_fn(self._predict_params(), jnp.asarray(images_u8))
-        )
+        return np.asarray(self.predict_masks_batch_async(images_u8))
 
     def predict_scene(self, scene_u8: np.ndarray, batch: int = 8,
                       overlap: Optional[int] = None,
@@ -276,23 +280,14 @@ class CoastlineExtractor:
         if overlap is None:
             overlap = self.image_size // 8
         if device_pipeline:
-            from coastline.infer.scene import build_scene_fn
-
-            h, w, c = scene_u8.shape
-            key = (h, w, c, self.image_size, overlap, batch, with_band)
-            fn = self._scene_cache.get(key)
-            if fn is None:
-                fn = build_scene_fn(self._predict_fn, h, w, c,
-                                    self.image_size, overlap, batch,
-                                    band_dilation=with_band)
-                self._scene_cache[key] = fn
-            out = fn(self._predict_params(), jnp.asarray(scene_u8))
+            out = self._predict_scene_device(
+                scene_u8, batch=batch, overlap=overlap, with_band=with_band)
             if with_band is not None:
                 mask, band = out
                 return np.asarray(mask), np.asarray(band)
             return np.asarray(out)
 
-        from coastline.data.tiling import stitch_tiles, tile_scene
+        from coastline.data.tiling import stitch_tiles, tile_scene  # host path
 
         tiles, grid = tile_scene(scene_u8, self.image_size, overlap)
         outs = []
@@ -308,6 +303,31 @@ class CoastlineExtractor:
         if with_band is not None:
             return mask, np.asarray(coastline_band(mask, with_band))
         return mask
+
+    def _predict_scene_device(self, scene_u8: np.ndarray, batch: int = 8,
+                              overlap: Optional[int] = None,
+                              with_band: Optional[int] = None):
+        """Dispatch the one-program scene pipeline and return DEVICE arrays.
+
+        JAX dispatch is asynchronous: the returned arrays are futures, so a
+        caller can keep doing host work (decode the next scene, trace
+        contours, write PNGs) while the chip uploads/computes/stitches this
+        one — the lever `extract_scenes` uses to pipeline the per-year
+        workflow. `predict_scene` wraps this with blocking `np.asarray`.
+        """
+        if overlap is None:
+            overlap = self.image_size // 8
+        from coastline.infer.scene import build_scene_fn
+
+        h, w, c = scene_u8.shape
+        key = (h, w, c, self.image_size, overlap, batch, with_band)
+        fn = self._scene_cache.get(key)
+        if fn is None:
+            fn = build_scene_fn(self._predict_fn, h, w, c,
+                                self.image_size, overlap, batch,
+                                band_dilation=with_band)
+            self._scene_cache[key] = fn
+        return fn(self._predict_params(), jnp.asarray(scene_u8))
 
     # ------------------------------------------------------------- extract
     def extract_coastline_from_image(
@@ -401,38 +421,27 @@ class CoastlineExtractor:
         model size, run through the jitted predict at the fixed batch
         shape (one compiled program), then each mask is restored to its
         native size for band/contour/save — identical artifacts to the
-        per-image path, fewer device round-trips."""
+        per-image path, fewer device round-trips.
+
+        Like `extract_scenes`, the loop is software-pipelined over JAX
+        async dispatch: chunk N+1's forward is in flight on the device
+        while the host writes chunk N's artifacts (contours, PNGs,
+        analysis figures — the slow part on this 1-vCPU host)."""
         s = self.image_size
-        results: List[Optional[dict]] = []
-        for start in range(0, len(image_paths), batch_size):
-            chunk_paths = image_paths[start : start + batch_size]
-            # load only this chunk (O(batch_size) resident images)
-            loaded: List[Optional[Image.Image]] = []
-            metas: List[Optional[dict]] = []
-            for p in chunk_paths:
-                try:
-                    im, meta = self._load_image_meta(p)
-                    loaded.append(im)
-                    metas.append(meta)
-                except Exception as e:
-                    print(f"load failed for {p}: {e}")
-                    loaded.append(None)
-                    metas.append(None)
-            arr = np.zeros((batch_size, s, s, 3), np.uint8)
-            for j, im in enumerate(loaded):
-                if im is not None:
-                    arr[j] = np.asarray(im.resize((s, s), Image.BILINEAR), np.uint8)
+        results: List[Optional[dict]] = [None] * len(image_paths)
+        inflight: List[tuple] = []  # (start, paths, loaded, metas, dev|exc)
+
+        def _finish():
+            start, chunk_paths, loaded, metas, dev = inflight.pop(0)
             try:
-                preds = self.predict_masks_batch(arr)
+                preds = np.asarray(dev)
             except Exception as e:
                 # match the per-image error contract: one device-side
                 # failure degrades this chunk to Nones, the run continues
                 print(f"batched forward failed for chunk at {start}: {e}")
-                results.extend(None for _ in chunk_paths)
-                continue
+                return
             for j, (p, image) in enumerate(zip(chunk_paths, loaded)):
                 if image is None:
-                    results.append(None)
                     continue
                 try:
                     mask = np.asarray(
@@ -456,8 +465,121 @@ class CoastlineExtractor:
                         result["projection"] = metas[j].get("projection")
                     if output_dir:
                         self.save_extraction_result(result, output_dir, image)
-                    results.append(result)
+                    results[start + j] = result
                 except Exception as e:
                     print(f"extraction failed for {p}: {e}")
-                    results.append(None)
+
+        for start in range(0, len(image_paths), batch_size):
+            chunk_paths = image_paths[start : start + batch_size]
+            # load only this chunk (O(batch_size) resident images)
+            loaded: List[Optional[Image.Image]] = []
+            metas: List[Optional[dict]] = []
+            for p in chunk_paths:
+                try:
+                    im, meta = self._load_image_meta(p)
+                    loaded.append(im)
+                    metas.append(meta)
+                except Exception as e:
+                    print(f"load failed for {p}: {e}")
+                    loaded.append(None)
+                    metas.append(None)
+            arr = np.zeros((batch_size, s, s, 3), np.uint8)
+            for j, im in enumerate(loaded):
+                if im is not None:
+                    arr[j] = np.asarray(im.resize((s, s), Image.BILINEAR), np.uint8)
+            try:
+                # async dispatch: device futures, fetched in _finish
+                dev = self.predict_masks_batch_async(arr)
+                inflight.append((start, chunk_paths, loaded, metas, dev))
+            except Exception as e:
+                print(f"batched forward failed for chunk at {start}: {e}")
+            while len(inflight) >= 2:  # double buffering
+                _finish()
+        while inflight:
+            _finish()
+        return results
+
+    # ---------------------------------------------------- scene extraction
+    def extract_scene(self, image_path: str, output_dir: Optional[str] = None,
+                      dilation_size: int = 5, batch: int = 8,
+                      ) -> Optional[dict]:
+        """Native-resolution tiled extraction for one scene.
+
+        One device program runs tile -> forward -> stitch -> coastline band
+        (`infer.scene.build_scene_fn`); host work is contour tracing plus
+        the same artifact set as the single-image path (masks, polylines
+        JSON, analysis figure, GeoJSON when georeferenced) — masks are
+        already at native scene resolution, no NEAREST restore. Same
+        error contract as `extract_coastline_from_image`: None on failure.
+        """
+        out = self.extract_scenes([image_path], output_dir,
+                                  dilation_size=dilation_size, batch=batch)
+        return out[0]
+
+    def extract_scenes(self, image_paths: List[str],
+                       output_dir: Optional[str] = None,
+                       dilation_size: int = 5, batch: int = 8,
+                       pipeline_depth: int = 2) -> List[Optional[dict]]:
+        """Software-pipelined multi-scene extraction (the per-year workflow).
+
+        JAX dispatch is asynchronous, so the device arrays the scene
+        program returns are futures: this loop dispatches scene N+1 BEFORE
+        fetching scene N's results, overlapping the chip's upload/compute/
+        stitch with the host's slow parts (TIF decode + enhancement,
+        contour tracing, PNG/JSON/figure writes). With same-sized yearly
+        scenes the compiled program is reused from `_scene_cache`, so
+        steady state is one dispatch + one fetch per scene and the host
+        never idles waiting for the device (measured on-chip:
+        `artifacts/scene_pipeline.json`).
+
+        `pipeline_depth` bounds how many scenes are in flight on the
+        device at once (2 = classic double buffering; each scene holds its
+        padded uint8 copy + mask/band in HBM while in flight).
+
+        Per-scene error contract matches `extract_batch`: a failed load,
+        dispatch, or save yields None for that scene and never aborts the
+        run. Returns result dicts in input order.
+        """
+        results: List[Optional[dict]] = [None] * len(image_paths)
+        inflight: List[tuple] = []  # (idx, path, image, meta, device_out)
+
+        def _finish():
+            idx, path, image, meta, dev = inflight.pop(0)
+            try:
+                mask = np.asarray(dev[0]).astype(np.uint8)
+                band = np.asarray(dev[1]).astype(np.uint8)
+                coastlines = extract_contours(band)
+                result = {
+                    "image_path": path,
+                    "image_size": list(image.size),
+                    "water_mask": mask,
+                    "coastline_mask": band,
+                    "coastlines": coastlines,
+                    "coastline_count": len(coastlines),
+                    "dilation_size": dilation_size,
+                    "extraction_time": str(datetime.now()),
+                }
+                if meta and meta.get("geo_transform"):
+                    result["geo_transform"] = list(meta["geo_transform"])
+                    result["projection"] = meta.get("projection")
+                if output_dir:
+                    self.save_extraction_result(result, output_dir, image)
+                results[idx] = result
+            except Exception as e:
+                print(f"extraction failed for {path}: {e}")
+
+        depth = max(1, pipeline_depth)
+        for idx, path in enumerate(image_paths):
+            try:
+                image, meta = self._load_image_meta(path)
+                scene = np.asarray(image, np.uint8)
+                dev = self._predict_scene_device(
+                    scene, batch=batch, with_band=dilation_size)
+                inflight.append((idx, path, image, meta, dev))
+            except Exception as e:
+                print(f"extraction failed for {path}: {e}")
+            while len(inflight) >= depth:
+                _finish()
+        while inflight:
+            _finish()
         return results

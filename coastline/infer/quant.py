@@ -199,6 +199,34 @@ def fold_deeplabv3p(variables) -> Dict:
     return out
 
 
+def fold_mswnet(variables) -> Dict:
+    """Fold BNs of MSWNet (models/mswnet.py, parity
+    `Extended_Baseline_Comparison.py:497-548`): 4 encoder MultiScaleBlocks
+    (4 ConvBNAct branches each), the 2-conv 1024-ch bridge + 4 single-conv
+    decoders (top-level ConvBNAct_0..5), 4 ConvTransposes, 1x1 head."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {}
+    for i in range(4):
+        msb, msbs = p[f"MultiScaleBlock_{i}"], s[f"MultiScaleBlock_{i}"]
+        out[f"ms{i}"] = {
+            f"b{k}": _fold(msb[f"ConvBNAct_{k}"]["Conv_0"],
+                           msb[f"ConvBNAct_{k}"]["Norm_0"],
+                           msbs[f"ConvBNAct_{k}"]["Norm_0"])
+            for k in range(4)
+        }
+    for i in range(6):  # 2 bridge + 4 decoder convs, flat creation order
+        out[f"c{i}"] = _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                             p[f"ConvBNAct_{i}"]["Norm_0"],
+                             s[f"ConvBNAct_{i}"]["Norm_0"])
+    for i in range(4):
+        ct = p[f"ConvTranspose_{i}"]
+        out[f"up{i}"] = (np.asarray(ct["kernel"], np.float32),
+                         np.asarray(ct["bias"], np.float32))
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Weight quantization
 # ---------------------------------------------------------------------------
@@ -521,12 +549,48 @@ def _forward_deeplabv3p(qp, scales, x, collect=None, dtype=jnp.bfloat16,
     return _conv(ctx, cur, qp["head"], padding=1).astype(jnp.float32)
 
 
+def _forward_mswnet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                    policy=None):
+    """MSWNet forward on folded params. The multi-scale blocks' four
+    branches all read the SAME int8 input (one site per block input); the
+    stride-1 3x3 max pool of branch 4 runs on the codes like every pool."""
+    ctx = _Ctx(scales, collect, dtype, policy)
+
+    def msb(name, inp: _QT, p) -> _QT:
+        branches = [
+            jax.nn.relu(_conv(ctx, inp, p["b0"])),
+            jax.nn.relu(_conv(ctx, inp, p["b1"], padding=1)),
+            jax.nn.relu(_conv(ctx, inp, p["b2"], padding=2)),
+            jax.nn.relu(_conv(ctx, _maxpool(inp, 3, 1, 1), p["b3"])),
+        ]
+        return ctx.site(f"{name}.out", jnp.concatenate(branches, axis=-1))
+
+    cur = ctx.site("input", x.astype(jnp.float32))
+    enc = []
+    for i in range(4):
+        cur = msb(f"ms{i}", cur if i == 0 else _maxpool(cur), qp[f"ms{i}"])
+        enc.append(cur)
+    cur = _maxpool(cur)
+    cur = ctx.site("c0", jax.nn.relu(_conv(ctx, cur, qp["c0"], padding=1)))
+    cur = ctx.site("c1", jax.nn.relu(_conv(ctx, cur, qp["c1"], padding=1)))
+    for i in range(4):
+        up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
+                   padding=((1, 1), (1, 1)))
+        up = ctx.site(f"up{i}.out", up)
+        cat = ctx.site(f"cat{i}", jnp.concatenate(
+            [up.f(ctx.dtype), enc[3 - i].f(ctx.dtype)], axis=-1))
+        cur = ctx.site(f"c{2 + i}", jax.nn.relu(
+            _conv(ctx, cat, qp[f"c{2 + i}"], padding=1)))
+    return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
+
+
 # arch name -> (fold fn, forward fn, sigmoid head?)
 ARCHS = {
     "robust_unet": (fold_robust_unet, _forward, True),
     "unet": (fold_unet, _forward_unet, False),
     "segnet": (fold_segnet, _forward_segnet, True),
     "deeplabv3p": (fold_deeplabv3p, _forward_deeplabv3p, True),
+    "mswnet": (fold_mswnet, _forward_mswnet, True),
 }
 
 

@@ -109,6 +109,64 @@ def test_scene_prediction_shape(tmp_path):
     assert set(np.unique(mask)) <= {0, 1}
 
 
+def test_extract_scenes_pipelined_matches_sequential(tmp_path):
+    """The software-pipelined per-year scene workflow (extract_scenes,
+    dispatch N+1 before fetching N) must produce the exact artifacts of
+    one-at-a-time extract_scene calls — including across a geometry
+    change mid-run (different compiled scene program) — in input order."""
+    from PIL import Image
+
+    from coastline.data.synthetic import make_scene
+    from coastline.infer.extract import CoastlineExtractor
+
+    paths = []
+    for i, reps in enumerate([(2, 3, 1), (2, 3, 1), (3, 2, 1)]):
+        img, _, _ = make_scene(np.random.default_rng(i), size=64)
+        big = np.tile(img, reps)  # two 128x192 scenes, one 192x128
+        p = str(tmp_path / f"y{2017 + i}.png")
+        Image.fromarray(big).save(p)
+        paths.append(p)
+
+    ex = CoastlineExtractor(image_size=64)
+    piped = ex.extract_scenes(paths, dilation_size=5, batch=4,
+                              pipeline_depth=2)
+    for path, got in zip(paths, piped):
+        ref = ex.extract_scene(path, dilation_size=5, batch=4)
+        assert got is not None and ref is not None
+        assert got["image_path"] == path
+        np.testing.assert_array_equal(got["water_mask"], ref["water_mask"])
+        np.testing.assert_array_equal(got["coastline_mask"],
+                                      ref["coastline_mask"])
+        assert got["coastline_count"] == ref["coastline_count"]
+        assert got["image_size"] == ref["image_size"]
+
+
+def test_extract_scenes_error_contract(tmp_path):
+    """A missing file mid-list yields None for that scene only; the rest
+    of the pipelined run completes and writes artifacts (extract_batch's
+    per-image degradation contract)."""
+    from PIL import Image
+
+    from coastline.data.synthetic import make_scene
+    from coastline.infer.extract import CoastlineExtractor
+
+    img, _, _ = make_scene(np.random.default_rng(0), size=64)
+    good1 = str(tmp_path / "a.png")
+    good2 = str(tmp_path / "c.png")
+    Image.fromarray(np.tile(img, (2, 2, 1))).save(good1)
+    Image.fromarray(np.tile(img, (2, 2, 1))).save(good2)
+    missing = str(tmp_path / "b_missing.png")
+
+    ex = CoastlineExtractor(image_size=64)
+    out = str(tmp_path / "out")
+    results = ex.extract_scenes([good1, missing, good2], out,
+                                dilation_size=5, batch=4)
+    assert results[1] is None
+    assert results[0] is not None and results[2] is not None
+    assert os.path.exists(os.path.join(out, "a_water_mask.png"))
+    assert os.path.exists(os.path.join(out, "c_water_mask.png"))
+
+
 def test_geojson_world_coordinates_exact():
     """Pixel->world mapping follows the GDAL geotransform at pixel centers;
     degenerate/absent transforms yield no artifact; <2-point lines drop."""
@@ -329,7 +387,7 @@ def test_extract_batch_degrades_chunk_on_forward_failure(tmp_path):
         paths.append(str(p))
 
     ex = CoastlineExtractor(image_size=64)
-    real_predict = ex.predict_masks_batch
+    real_predict = ex.predict_masks_batch_async
     calls = {"n": 0}
 
     def flaky(arr):
@@ -338,7 +396,7 @@ def test_extract_batch_degrades_chunk_on_forward_failure(tmp_path):
             raise RuntimeError("simulated device failure")
         return real_predict(arr)
 
-    ex.predict_masks_batch = flaky
+    ex.predict_masks_batch_async = flaky
     results = ex.extract_batch(paths, None, 5, batch_size=2)
     assert len(results) == 4
     assert results[0] is None and results[1] is None  # failed chunk

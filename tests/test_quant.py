@@ -220,11 +220,14 @@ def test_server_on_quantized_extractor():
     ("deeplabv3p", lambda: __import__("coastline.models.deeplabv3p",
                                       fromlist=["DeepLabV3Plus"]
                                       ).DeepLabV3Plus(dtype=jnp.float32)),
+    ("mswnet", lambda: __import__("coastline.models.mswnet",
+                                  fromlist=["MSWNet"]).MSWNet(dtype=jnp.float32)),
 ])
 def test_more_archs_fold_and_int8(arch, model_fn):
-    """SegNet (indexed unpool on codes) and DeepLabV3+ (strided stem, ASPP
-    global-pool broadcast, ConvT+BN fold): f32 anchor vs apply, then the
-    int8 path runs and agrees."""
+    """SegNet (indexed unpool on codes), DeepLabV3+ (strided stem, ASPP
+    global-pool broadcast, ConvT+BN fold) and MSWNet (multi-scale branch
+    blocks, 1024-ch bridge): f32 anchor vs apply, then the int8 path runs
+    and agrees."""
     m = model_fn()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
