@@ -199,6 +199,56 @@ def fold_deeplabv3p(variables) -> Dict:
     return out
 
 
+def fold_waternet(variables) -> Dict:
+    """Fold BNs of WaterNet (models/waternet.py, parity
+    `Extended_Baseline_Comparison.py:396-473`): the water-index head
+    (1x1+BN+1x1), 14 double-conv ConvBNActs, the bottleneck CBAM channel
+    gate, 3 ConvTransposes, 1x1 head."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    wim, wims = p["WaterIndexModule_0"], s["WaterIndexModule_0"]
+    out: Dict = {
+        "wim1": _fold(wim["Conv_0"], wim["Norm_0"], wims["Norm_0"]),
+        "wim2": _fold(wim["Conv_1"]),
+        "ca": {
+            "fc1": np.asarray(p["ChannelAttention_0"]["Dense_0"]["kernel"],
+                              np.float32),
+            "fc2": np.asarray(p["ChannelAttention_0"]["Dense_1"]["kernel"],
+                              np.float32),
+        },
+    }
+    for i in range(14):  # e1/e2/e3/bottleneck/d3/d2/d1 double convs, flat
+        out[f"c{i}"] = _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                             p[f"ConvBNAct_{i}"]["Norm_0"],
+                             s[f"ConvBNAct_{i}"]["Norm_0"])
+    for i in range(3):
+        ct = p[f"ConvTranspose_{i}"]
+        out[f"up{i}"] = (np.asarray(ct["kernel"], np.float32),
+                         np.asarray(ct["bias"], np.float32))
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
+def fold_pspnet(variables) -> Dict:
+    """Fold BNs of PSPNet (models/pspnet.py, parity `comne.py:243-299`):
+    4 strided stem ConvBNActs, the {1,2,3,6} pyramid-pool branch convs
+    (Conv+BN inside PyramidPooling_0), the 512-ch fusion conv, 1x1 head."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {
+        f"c{i}": _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                       p[f"ConvBNAct_{i}"]["Norm_0"],
+                       s[f"ConvBNAct_{i}"]["Norm_0"])
+        for i in range(5)  # c0..c3 stem, c4 post-PPM fusion
+    }
+    ppm, ppms = p["PyramidPooling_0"], s["PyramidPooling_0"]
+    for k in range(4):
+        out[f"ppm{k}"] = _fold(ppm[f"Conv_{k}"], ppm[f"Norm_{k}"],
+                               ppms[f"Norm_{k}"])
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
 def fold_mswnet(variables) -> Dict:
     """Fold BNs of MSWNet (models/mswnet.py, parity
     `Extended_Baseline_Comparison.py:497-548`): 4 encoder MultiScaleBlocks
@@ -549,6 +599,82 @@ def _forward_deeplabv3p(qp, scales, x, collect=None, dtype=jnp.bfloat16,
     return _conv(ctx, cur, qp["head"], padding=1).astype(jnp.float32)
 
 
+def _forward_waternet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                      policy=None):
+    """WaterNet forward on folded params: the water-index sigmoid head is
+    concatenated to RGB (7-ch input site), VGG-ish U-Net with a CBAM
+    channel gate on the bottleneck (pooled on the int8 codes like
+    `_residual_block`)."""
+    ctx = _Ctx(scales, collect, dtype, policy)
+    xin = ctx.site("input", x.astype(jnp.float32))
+
+    def double(name, cur: _QT, k: int) -> _QT:
+        cur = ctx.site(f"{name}.t1", jax.nn.relu(
+            _conv(ctx, cur, qp[f"c{k}"], padding=1)))
+        return ctx.site(f"{name}.out", jax.nn.relu(
+            _conv(ctx, cur, qp[f"c{k + 1}"], padding=1)))
+
+    t = ctx.site("wim.t", jax.nn.relu(_conv(ctx, xin, qp["wim1"])))
+    idx = jax.nn.sigmoid(
+        _conv(ctx, t, qp["wim2"]).astype(jnp.float32)).astype(ctx.dtype)
+    cur = ctx.site("in7", jnp.concatenate([xin.f(ctx.dtype), idx], axis=-1))
+
+    e1 = double("e1", cur, 0)
+    e2 = double("e2", _maxpool(e1), 2)
+    e3 = double("e3", _maxpool(e2), 4)
+    b = double("b", _maxpool(e3), 6)
+
+    # bottleneck CBAM channel gate (pool the codes, exact dequant on the
+    # tiny pooled vectors — mean/max commute with the positive step)
+    avg = jnp.mean(b.q, axis=(1, 2), dtype=jnp.float32)
+    mx = jnp.max(b.q, axis=(1, 2)).astype(jnp.float32)
+    if b.step is not None:
+        avg = avg * b.step
+        mx = mx * b.step
+    fc1 = jnp.asarray(qp["ca"]["fc1"], jnp.float32)
+    fc2 = jnp.asarray(qp["ca"]["fc2"], jnp.float32)
+    gate = jax.nn.relu(avg @ fc1) @ fc2 + jax.nn.relu(mx @ fc1) @ fc2
+    gc = jax.nn.sigmoid(gate).astype(ctx.dtype)
+    cur = ctx.site("ca.out", b.f(ctx.dtype) * gc[:, None, None, :])
+
+    for i, (skip, k) in enumerate(((e3, 8), (e2, 10), (e1, 12))):
+        up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
+                   padding=((1, 1), (1, 1)))
+        up = ctx.site(f"up{i}.out", up)
+        cat = ctx.site(f"cat{i}", jnp.concatenate(
+            [up.f(ctx.dtype), skip.f(ctx.dtype)], axis=-1))
+        cur = double(f"d{3 - i}", cat, k)
+    return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
+
+
+def _forward_pspnet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                    policy=None):
+    """PSPNet forward on folded params: 4 strided stem convs (/16), the
+    {1,2,3,6} adaptive-pool pyramid (pooled maps are <=6x6 — their branch
+    convs still run the policy's int8 path so slim artifacts stay
+    bit-exact), fusion conv, 1x1 head, f32 bilinear upsample to input."""
+    from coastline.ops.primitives import adaptive_avg_pool, bilinear_resize
+
+    ctx = _Ctx(scales, collect, dtype, policy)
+    h, w = x.shape[1], x.shape[2]
+    cur = ctx.site("input", x.astype(jnp.float32))
+    for i, pad in enumerate((1, 1, 1, 1)):
+        cur = ctx.site(f"c{i}", jax.nn.relu(
+            _conv(ctx, cur, qp[f"c{i}"], stride=2, padding=pad)))
+
+    hh, ww = cur.q.shape[1], cur.q.shape[2]
+    outs = [cur.f(ctx.dtype)]
+    for k, size in enumerate((1, 2, 3, 6)):
+        p = adaptive_avg_pool(cur.f(ctx.dtype), size)
+        p = ctx.site(f"ppm{k}.in", p)
+        p = jax.nn.relu(_conv(ctx, p, qp[f"ppm{k}"]))
+        outs.append(bilinear_resize(p.astype(ctx.dtype), (hh, ww)))
+    cat = ctx.site("ppm.cat", jnp.concatenate(outs, axis=-1))
+    cur = ctx.site("c4", jax.nn.relu(_conv(ctx, cat, qp["c4"], padding=1)))
+    logits = _conv(ctx, cur, qp["head"]).astype(jnp.float32)
+    return bilinear_resize(logits, (h, w))
+
+
 def _forward_mswnet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
                     policy=None):
     """MSWNet forward on folded params. The multi-scale blocks' four
@@ -591,6 +717,8 @@ ARCHS = {
     "segnet": (fold_segnet, _forward_segnet, True),
     "deeplabv3p": (fold_deeplabv3p, _forward_deeplabv3p, True),
     "mswnet": (fold_mswnet, _forward_mswnet, True),
+    "waternet": (fold_waternet, _forward_waternet, True),
+    "pspnet": (fold_pspnet, _forward_pspnet, True),
 }
 
 

@@ -222,6 +222,11 @@ def test_server_on_quantized_extractor():
                                       ).DeepLabV3Plus(dtype=jnp.float32)),
     ("mswnet", lambda: __import__("coastline.models.mswnet",
                                   fromlist=["MSWNet"]).MSWNet(dtype=jnp.float32)),
+    ("waternet", lambda: __import__("coastline.models.waternet",
+                                    fromlist=["WaterNet"]
+                                    ).WaterNet(dtype=jnp.float32)),
+    ("pspnet", lambda: __import__("coastline.models.pspnet",
+                                  fromlist=["PSPNet"]).PSPNet(dtype=jnp.float32)),
 ])
 def test_more_archs_fold_and_int8(arch, model_fn):
     """SegNet (indexed unpool on codes), DeepLabV3+ (strided stem, ASPP
