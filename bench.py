@@ -38,6 +38,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _require_device():
+    """Fail fast (and retryably) if the TPU tunnel is wedged.
+
+    Heavy use or a failed remote compile can wedge this container's TPU
+    tunnel for minutes (CLAUDE.md); backend init failure inside jax is
+    sticky for the process, so the retry must re-exec. Returns the device
+    or raises after printing a clear marker.
+    """
+    import os
+    import subprocess
+
+    # observed wedge duration is ~50 min: 6x10-min backoffs bridge it
+    attempts = int(os.environ.get("COASTLINE_BENCH_ATTEMPTS", "6"))
+    probe = ("import jax; d=jax.devices(); print(d[0].platform)")
+    for i in range(attempts):
+        try:
+            p = subprocess.run([sys.executable, "-c", probe], timeout=300,
+                               capture_output=True, text=True)
+            if p.returncode == 0:
+                return jax.devices()[0]
+            log(f"device probe failed (attempt {i + 1}/{attempts}): "
+                f"{p.stderr.strip().splitlines()[-1] if p.stderr else '?'}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe timed out (attempt {i + 1}/{attempts})")
+        if i + 1 < attempts:
+            wait = 600
+            log(f"tunnel unavailable; backing off {wait}s")
+            time.sleep(wait)
+    return jax.devices()[0]  # raise the real error in-process
+
+
 def main():
     from coastline.models.robust_unet import RobustUNet
     from coastline.utils.profiling import device_loop_seconds, measure_dispatch_rtt
@@ -45,7 +76,7 @@ def main():
         TrainConfig, create_train_state, make_train_epoch,
     )
 
-    dev = jax.devices()[0]
+    dev = _require_device()
     log(f"device: {dev}, platform: {dev.platform}")
     rtt = measure_dispatch_rtt()
     log(f"dispatch RTT: {rtt * 1000:.1f} ms")

@@ -258,7 +258,8 @@ class CoastlineExtractor:
     def predict_scene(self, scene_u8: np.ndarray, batch: int = 8,
                       overlap: Optional[int] = None,
                       device_pipeline: bool = True,
-                      with_band: Optional[int] = None):
+                      with_band: Optional[int] = None,
+                      mesh=None):
         """Full-scene water mask at native resolution via the tile pipeline.
 
         Default seam overlap is tile/8 (64 px at the production 512 tile),
@@ -276,12 +277,18 @@ class CoastlineExtractor:
         array; on the device pipeline it is computed INSIDE the scene
         program (Pallas dilation included), saving the mask download →
         re-upload round trip a separate `coastline_band` call pays.
+
+        `mesh=<jax.sharding.Mesh>` shards each chunk's tile batch across
+        the mesh's data axes (GSPMD) so one scene fans out over a pod
+        slice; output is bit-identical to the single-device program
+        (tested on a virtual mesh). The host tiling path ignores `mesh`.
         """
         if overlap is None:
             overlap = self.image_size // 8
         if device_pipeline:
             out = self._predict_scene_device(
-                scene_u8, batch=batch, overlap=overlap, with_band=with_band)
+                scene_u8, batch=batch, overlap=overlap, with_band=with_band,
+                mesh=mesh)
             if with_band is not None:
                 mask, band = out
                 return np.asarray(mask), np.asarray(band)
@@ -306,7 +313,8 @@ class CoastlineExtractor:
 
     def _predict_scene_device(self, scene_u8: np.ndarray, batch: int = 8,
                               overlap: Optional[int] = None,
-                              with_band: Optional[int] = None):
+                              with_band: Optional[int] = None,
+                              mesh=None):
         """Dispatch the one-program scene pipeline and return DEVICE arrays.
 
         JAX dispatch is asynchronous: the returned arrays are futures, so a
@@ -320,12 +328,14 @@ class CoastlineExtractor:
         from coastline.infer.scene import build_scene_fn
 
         h, w, c = scene_u8.shape
-        key = (h, w, c, self.image_size, overlap, batch, with_band)
+        mesh_key = None if mesh is None else tuple(
+            (a, int(mesh.shape[a])) for a in mesh.axis_names)
+        key = (h, w, c, self.image_size, overlap, batch, with_band, mesh_key)
         fn = self._scene_cache.get(key)
         if fn is None:
             fn = build_scene_fn(self._predict_fn, h, w, c,
                                 self.image_size, overlap, batch,
-                                band_dilation=with_band)
+                                band_dilation=with_band, mesh=mesh)
             self._scene_cache[key] = fn
         return fn(self._predict_params(), jnp.asarray(scene_u8))
 

