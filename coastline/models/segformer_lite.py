@@ -6,9 +6,12 @@ all-MLP decoder fusing every stage at /4 resolution.
 
 One documented deviation: the reference applies its head sigmoid *before*
 the final bilinear upsample; here logits are upsampled and the sigmoid comes
-last, so a single fused logits head serves both the stable BCE training path
-and inference. The difference is a bilinear-vs-logit ordering of a monotone
-map at the mask boundary only.
+last by default, so a single fused logits head serves both the stable BCE
+training path and inference. The difference is a bilinear-vs-logit ordering
+of a monotone map at the mask boundary only. `reference_ordering=True`
+reproduces the reference's sigmoid-then-upsample probabilities exactly
+(weight-level prob parity is pinned in tests/test_torch_import.py); it has
+no logits form, so `return_logits=True` keeps the default ordering.
 """
 
 import jax
@@ -22,6 +25,7 @@ from coastline.ops.primitives import Conv, bilinear_resize
 class SegFormerLite(nn.Module):
     n_classes: int = 1
     dtype: jnp.dtype = jnp.float32
+    reference_ordering: bool = False  # sigmoid before the final upsample
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
@@ -54,5 +58,9 @@ class SegFormerLite(nn.Module):
         head = ConvBNAct(64, 3, padding=1, dtype=dt)(fused, train)
         head = Conv(self.n_classes, 1, dtype=dt)(head)
 
+        if self.reference_ordering and not return_logits:
+            # exact reference semantics (`Extended_Baseline_Comparison.py:741`)
+            probs = jax.nn.sigmoid(head.astype(jnp.float32))
+            return bilinear_resize(probs, (h, w))
         logits = bilinear_resize(head.astype(jnp.float32), (h, w))
         return logits if return_logits else jax.nn.sigmoid(logits)

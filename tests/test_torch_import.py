@@ -307,6 +307,19 @@ def test_segformer_lite_weight_level_forward_parity():
 
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
+    # ... and with reference_ordering=True the PROBABILITIES match the
+    # INTACT reference head (sigmoid before the final upsample) — the
+    # documented deviation is opt-out, not a gap.
+    tm.head[4] = torch.nn.Sigmoid()  # restore the reference head
+    with torch.no_grad():
+        ref_p = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got_p = np.asarray(
+        SegFormerLite(n_classes=1, reference_ordering=True).apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x, train=False)
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_p, ref_p, atol=2e-5, rtol=1e-4)
+
 
 def test_segformer_lite_import_tree_matches_model_init():
     import jax
