@@ -63,9 +63,13 @@ def main(argv=None):
         from coastline.infer.quant import ARCHS
         from coastline.models.registry import canonical_name
 
-        # registry display name -> quant.ARCHS key
+        # registry display name -> quant.ARCHS key (all 12 archs fold)
         qarch = {"Robust UNet": "robust_unet", "UNet": "unet",
                  "SegNet": "segnet", "DeepLabV3+": "deeplabv3p",
+                 "MSWNet": "mswnet", "WaterNet": "waternet",
+                 "PSPNet": "pspnet", "YOLO-SEG": "yoloseg",
+                 "HRNet-Water": "hrnet_water", "Fast-SCNN": "fastscnn",
+                 "ENet": "enet", "SegFormer-Lite": "segformer_lite",
                  }.get(canonical_name(args.arch), args.arch)
         if qarch not in ARCHS:
             raise SystemExit(

@@ -277,6 +277,163 @@ def fold_mswnet(variables) -> Dict:
     return out
 
 
+def fold_yoloseg(variables) -> Dict:
+    """Fold BNs of YOLOSeg (models/yoloseg.py, parity
+    `Main_Final.py:436-510`): 8 Darknet-ish ConvBNActs (LeakyReLU 0.1),
+    4 ConvTranspose+Norm decoder stages (BN folded into the ConvT like
+    DeepLabV3+'s decoder), 3x3 head."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {
+        f"c{i}": _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                       p[f"ConvBNAct_{i}"]["Norm_0"],
+                       s[f"ConvBNAct_{i}"]["Norm_0"])
+        for i in range(8)
+    }
+    for i in range(4):
+        ct = p[f"ConvTranspose_{i}"]
+        inv, shift = _bn_affine(p[f"Norm_{i}"], s[f"Norm_{i}"])
+        w = np.asarray(ct["kernel"], np.float32) * inv[None, None, None, :]
+        b = np.asarray(ct["bias"], np.float32) * inv + shift
+        out[f"up{i}"] = (w, b)
+    out["head"] = _fold(p["Conv_0"])
+    return out
+
+
+def fold_hrnet_water(variables) -> Dict:
+    """Fold BNs of HRNet-Water (models/hrnet_water.py, parity
+    `Extended_Baseline_Comparison.py:554-616`): 2 stem + 2/2/2 branch
+    ConvBNActs, the two 1x1 fuse projections (Conv+top-level Norm), the
+    post-fusion ConvBNAct, 1x1 head."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {
+        f"c{i}": _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                       p[f"ConvBNAct_{i}"]["Norm_0"],
+                       s[f"ConvBNAct_{i}"]["Norm_0"])
+        for i in range(9)  # c0-1 stem, c2-3 hr, c4-5 mr, c6-7 lr, c8 fuse
+    }
+    out["mr_proj"] = _fold(p["Conv_0"], p["Norm_0"], s["Norm_0"])
+    out["lr_proj"] = _fold(p["Conv_1"], p["Norm_1"], s["Norm_1"])
+    out["head"] = _fold(p["Conv_2"])
+    return out
+
+
+def fold_fastscnn(variables) -> Dict:
+    """Fold BNs of Fast-SCNN (models/fastscnn.py, parity
+    `comne.py:323-476`): the downsample stem ConvBNAct, 13 ds-convs (BN
+    folds into the POINTWISE 1x1; the depthwise 3x3 has neither bias nor
+    BN and is kept as-is with a zero bias), the {1,2,3,6} pyramid branch
+    convs, both 128-ch fusion projections (Conv+top-level Norm), 1x1 head."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {"c0": _fold(p["ConvBNAct_0"]["Conv_0"],
+                             p["ConvBNAct_0"]["Norm_0"],
+                             s["ConvBNAct_0"]["Norm_0"])}
+    for i in range(13):
+        ds, dss = p[f"DepthwiseSeparableConv_{i}"], \
+            s[f"DepthwiseSeparableConv_{i}"]
+        wdw = np.asarray(ds["Conv_0"]["Conv_0"]["kernel"], np.float32)
+        out[f"ds{i}"] = {
+            "dw": (wdw, np.zeros(wdw.shape[-1], np.float32)),
+            "pw": _fold(ds["Conv_1"], ds["Norm_0"], dss["Norm_0"]),
+        }
+    ppm, ppms = p["PyramidPooling_0"], s["PyramidPooling_0"]
+    for k in range(4):
+        out[f"ppm{k}"] = _fold(ppm[f"Conv_{k}"], ppm[f"Norm_{k}"],
+                               ppms[f"Norm_{k}"])
+    out["low_proj"] = _fold(p["Conv_0"], p["Norm_0"], s["Norm_0"])
+    out["high_proj"] = _fold(p["Conv_1"], p["Norm_1"], s["Norm_1"])
+    out["head"] = _fold(p["Conv_2"])
+    return out
+
+
+#: ENet encoder layout (models/enet.py): (kind, dilation) per bottleneck.
+_ENET_SPECS = (
+    ("down", 1), ("reg", 1), ("reg", 1), ("reg", 1),       # enc1, 64ch
+    ("down", 1), ("reg", 1), ("reg", 2), ("asym", 1),      # enc2, 128ch
+    ("reg", 4), ("reg", 1), ("reg", 8), ("asym", 1), ("reg", 16),
+)
+
+
+def fold_enet(variables) -> Dict:
+    """Fold BNs of ENet (models/enet.py, parity `comne.py:482-608`).
+
+    The initial block's BN spans the concat of conv (13ch) and maxpool
+    (3ch) channels: the conv slice folds into the conv, the pool slice is
+    kept as an explicit (inv, shift) affine applied to the pooled input.
+    Bottlenecks fold per their kind (regular / asymmetric 5x1+1x5 /
+    downsample with its maxpool+1x1 projection); the 2 ConvTranspose+Norm
+    decoder stages fold like DeepLabV3+'s, the final ConvT keeps its bias."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    ib, ibs = p["ENetInitialBlock_0"], s["ENetInitialBlock_0"]
+    inv, shift = _bn_affine(ib["Norm_0"], ibs["Norm_0"])
+    ncv = ib["Conv_0"]["Conv_0"]["kernel"].shape[-1]  # 13 conv channels
+    out: Dict = {"init": {
+        "conv": _fold(ib["Conv_0"], inv=inv[:ncv], shift=shift[:ncv]),
+        "pool_inv": inv[ncv:], "pool_shift": shift[ncv:],
+    }}
+    for i, (kind, _) in enumerate(_ENET_SPECS):
+        bn, bns = p[f"ENetBottleneck_{i}"], s[f"ENetBottleneck_{i}"]
+        entry = {"reduce": _fold(bn["ConvBNAct_0"]["Conv_0"],
+                                 bn["ConvBNAct_0"]["Norm_0"],
+                                 bns["ConvBNAct_0"]["Norm_0"])}
+        if kind == "down":
+            entry["proj"] = _fold(bn["Conv_0"], bn["Norm_0"], bns["Norm_0"])
+            entry["mid1"] = _fold(bn["Conv_1"], bn["Norm_1"], bns["Norm_1"])
+            entry["expand"] = _fold(bn["Conv_2"], bn["Norm_2"], bns["Norm_2"])
+        elif kind == "asym":
+            entry["mid1"] = _fold(bn["Conv_0"], bn["Norm_0"], bns["Norm_0"])
+            entry["mid2"] = _fold(bn["Conv_1"], bn["Norm_1"], bns["Norm_1"])
+            entry["expand"] = _fold(bn["Conv_2"], bn["Norm_2"], bns["Norm_2"])
+        else:
+            entry["mid1"] = _fold(bn["Conv_0"], bn["Norm_0"], bns["Norm_0"])
+            entry["expand"] = _fold(bn["Conv_1"], bn["Norm_1"], bns["Norm_1"])
+        out[f"bn{i}"] = entry
+    for i in range(2):
+        ct = p[f"ConvTranspose_{i}"]
+        inv, shift = _bn_affine(p[f"Norm_{i}"], s[f"Norm_{i}"])
+        w = np.asarray(ct["kernel"], np.float32) * inv[None, None, None, :]
+        b = np.asarray(ct["bias"], np.float32) * inv + shift
+        out[f"up{i}"] = (w, b)
+    ct = p["ConvTranspose_2"]
+    out["head"] = (np.asarray(ct["kernel"], np.float32),
+                   np.asarray(ct["bias"], np.float32))
+    return out
+
+
+def fold_segformer_lite(variables) -> Dict:
+    """Fold BNs of SegFormer-Lite (models/segformer_lite.py, parity
+    `Extended_Baseline_Comparison.py:667-744`): 4 patch-embed ConvBNActs
+    (BN folds into the conv; GELU stays in the forward), the attention /
+    Mix-FFN blocks are BN-free (biases kept), the all-MLP decoder's two
+    ConvBNActs fold, the four 1x1 stage projections and head keep biases."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    out: Dict = {
+        f"c{i}": _fold(p[f"ConvBNAct_{i}"]["Conv_0"],
+                       p[f"ConvBNAct_{i}"]["Norm_0"],
+                       s[f"ConvBNAct_{i}"]["Norm_0"])
+        for i in range(6)  # c0-3 patch embeds, c4 fuse, c5 head conv
+    }
+    for i in range(3):
+        esa = p[f"EfficientSelfAttention_{i}"]
+        out[f"esa{i}"] = {
+            "q": _fold(esa["Conv_0"]), "sr": _fold(esa["Conv_1"]),
+            "kv": _fold(esa["Conv_2"]), "proj": _fold(esa["Conv_3"]),
+        }
+        ffn = p[f"MixFFN_{i}"]
+        out[f"ffn{i}"] = {
+            "c1": _fold(ffn["Conv_0"]), "dw": _fold(ffn["Conv_1"]),
+            "c2": _fold(ffn["Conv_2"]),
+        }
+    for i in range(4):  # f4, f3, f2, f1 decoder projections
+        out[f"f{4 - i}"] = _fold(p[f"Conv_{i}"])
+    out["head"] = _fold(p["Conv_4"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Weight quantization
 # ---------------------------------------------------------------------------
@@ -365,12 +522,14 @@ class _Ctx:
 
 
 def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
-          lhs_dilation=None) -> jnp.ndarray:
+          lhs_dilation=None, groups=1) -> jnp.ndarray:
     """Conv on a site tensor -> float (f32) output with bias, epilogue-ready.
 
     int8 path when the context is quantized, the input is int8, and both
     channel dims are >=64 (smaller convs gain nothing on the MXU; they
-    still read the int8 input, so traffic stays halved).
+    still read the int8 input, so traffic stays halved). Grouped/depthwise
+    convs (groups > 1) always take the float path — their per-group
+    contraction depth is too small for the MXU's s8 pipeline to pay.
     """
     if isinstance(entry, dict):
         w, b, wq, wstep = entry["w"], entry["b"], entry["wq"], entry["wstep"]
@@ -382,6 +541,7 @@ def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
         else padding
     dn = ("NHWC", "HWIO", "NHWC")
     use_int8 = (ctx.quant and x.step is not None and wq is not None
+                and groups == 1
                 and min(cin, cout) >= ctx.policy["conv_min_ch"]
                 and (lhs_dilation is None or ctx.policy["convT_int8"]))
     # The epilogue's f32 math lives in-register inside the conv fusion; the
@@ -398,7 +558,7 @@ def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
     y = lax.conv_general_dilated(
         x.f(ctx.dtype), jnp.asarray(w, ctx.dtype), (stride, stride), pad,
         lhs_dilation=lhs_dilation, rhs_dilation=(dilation, dilation),
-        dimension_numbers=dn)
+        dimension_numbers=dn, feature_group_count=groups)
     return y + jnp.asarray(b, ctx.dtype)
 
 
@@ -710,6 +870,228 @@ def _forward_mswnet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
     return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
 
 
+def _forward_yoloseg(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                     policy=None):
+    """YOLOSeg forward on folded params: LeakyReLU(0.1) throughout, 4
+    maxpools on the codes, 4 folded ConvT(4,2,1) decoder stages, 3x3 head."""
+    ctx = _Ctx(scales, collect, dtype, policy)
+
+    def cba(name, cur: _QT, k: int, padding: int) -> _QT:
+        return ctx.site(name, jax.nn.leaky_relu(
+            _conv(ctx, cur, qp[f"c{k}"], padding=padding), 0.1))
+
+    cur = ctx.site("input", x.astype(jnp.float32))
+    cur = _maxpool(cba("c0", cur, 0, 1))
+    cur = _maxpool(cba("c1", cur, 1, 1))
+    cur = cba("c2", cur, 2, 1)
+    cur = cba("c3", cur, 3, 0)
+    cur = _maxpool(cba("c4", cur, 4, 1))
+    cur = cba("c5", cur, 5, 1)
+    cur = cba("c6", cur, 6, 0)
+    cur = _maxpool(cba("c7", cur, 7, 1))
+    for i in range(4):  # ConvT k4 s2 p1 -> lhs-dilated conv, pad k-1-p=2
+        up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
+                   padding=((2, 2), (2, 2)))
+        cur = ctx.site(f"up{i}.out", jax.nn.leaky_relu(up, 0.1))
+    return _conv(ctx, cur, qp["head"], padding=1).astype(jnp.float32)
+
+
+def _forward_hrnet_water(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                         policy=None):
+    """HRNet-Water forward on folded params: /2 stem, three parallel
+    resolution branches, folded 1x1 projections + bilinear fuse at high
+    resolution, head conv, 2x upsample, 1x1 head."""
+    from coastline.ops.primitives import bilinear_resize
+
+    ctx = _Ctx(scales, collect, dtype, policy)
+
+    def cba(name, cur: _QT, k: int, stride: int = 1) -> _QT:
+        return ctx.site(name, jax.nn.relu(
+            _conv(ctx, cur, qp[f"c{k}"], stride=stride, padding=1)))
+
+    cur = ctx.site("input", x.astype(jnp.float32))
+    stem = cba("c1", cba("c0", cur, 0, 2), 1)
+    hr = cba("c3", cba("c2", stem, 2), 3)
+    mr = cba("c5", cba("c4", stem, 4, 2), 5)
+    lr = cba("c7", cba("c6", mr, 6, 2), 7)
+
+    size = (hr.q.shape[1], hr.q.shape[2])
+    mr_up = bilinear_resize(_conv(ctx, mr, qp["mr_proj"]), size)
+    lr_up = bilinear_resize(_conv(ctx, lr, qp["lr_proj"]), size)
+    fused = ctx.site("fused", jnp.concatenate(
+        [hr.f(ctx.dtype), mr_up, lr_up], axis=-1))
+    h = cba("c8", fused, 8)
+    h = ctx.site("head.in", bilinear_resize(
+        h.f(ctx.dtype), (size[0] * 2, size[1] * 2)))
+    return _conv(ctx, h, qp["head"]).astype(jnp.float32)
+
+
+def _forward_fastscnn(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                      policy=None):
+    """Fast-SCNN forward on folded params: the depthwise 3x3s run grouped
+    in the compute dtype (reading int8 codes), BN+ReLU folded/fused into
+    the pointwise 1x1s; {1,2,3,6} pyramid on the /16 map; both fusion
+    projections folded; f32 bilinear upsample of the 1-ch logits."""
+    from coastline.ops.primitives import adaptive_avg_pool, bilinear_resize
+
+    ctx = _Ctx(scales, collect, dtype, policy)
+    h, w = x.shape[1], x.shape[2]
+
+    def ds(name, cur: _QT, k: int, stride: int = 1) -> _QT:
+        p = qp[f"ds{k}"]
+        groups = p["dw"]["w"].shape[-1] if isinstance(p["dw"], dict) \
+            else p["dw"][0].shape[-1]
+        t = _conv(ctx, cur, p["dw"], stride=stride, padding=1, groups=groups)
+        t = ctx.site(f"{name}.mid", t)
+        return ctx.site(f"{name}.out",
+                        jax.nn.relu(_conv(ctx, t, p["pw"])))
+
+    cur = ctx.site("input", x.astype(jnp.float32))
+    cur = ctx.site("c0", jax.nn.relu(
+        _conv(ctx, cur, qp["c0"], stride=2, padding=1)))
+    cur = ds("ds0", cur, 0, 2)
+    low = ds("ds1", cur, 1, 2)
+
+    g = low
+    for k in (2, 3, 4):
+        g = ds(f"ds{k}", g, k)
+    g = ds("ds5", g, 5, 2)
+    for k in (6, 7, 8, 9, 10):
+        g = ds(f"ds{k}", g, k)
+
+    hh, ww = g.q.shape[1], g.q.shape[2]
+    outs = [g.f(ctx.dtype)]
+    for k, size in enumerate((1, 2, 3, 6)):
+        p = adaptive_avg_pool(g.f(ctx.dtype), size)
+        p = ctx.site(f"ppm{k}.in", p)
+        p = jax.nn.relu(_conv(ctx, p, qp[f"ppm{k}"]))
+        outs.append(bilinear_resize(p.astype(ctx.dtype), (hh, ww)))
+    g = ctx.site("ppm.cat", jnp.concatenate(outs, axis=-1))
+
+    lowp = _conv(ctx, low, qp["low_proj"])
+    high = _conv(ctx, g, qp["high_proj"])
+    high = bilinear_resize(high, (low.q.shape[1], low.q.shape[2]))
+    cur = ctx.site("fuse.out", jax.nn.relu(lowp + high))
+    cur = ds("ds11", cur, 11)
+    cur = ds("ds12", cur, 12)
+    logits = _conv(ctx, cur, qp["head"]).astype(jnp.float32)
+    return bilinear_resize(logits, (h, w))
+
+
+def _forward_enet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                  policy=None):
+    """ENet forward on folded params: initial block (conv slice folded,
+    pool slice through the explicit BN affine), 13 bottlenecks per
+    `_ENET_SPECS`, folded ConvT(3,2,1,op=1) decoder, ConvT(2,2) head."""
+    ctx = _Ctx(scales, collect, dtype, policy)
+
+    def bottleneck(name, cur: _QT, spec, p) -> _QT:
+        kind, dil = spec
+        if kind == "down":
+            ident = _conv(ctx, _maxpool(cur), p["proj"])
+        else:
+            ident = cur.f(ctx.dtype)
+        t = ctx.site(f"{name}.r", jax.nn.relu(
+            _conv(ctx, cur, p["reduce"], stride=2 if kind == "down" else 1)))
+        if kind == "asym":
+            t = ctx.site(f"{name}.m1", jax.nn.relu(
+                _conv(ctx, t, p["mid1"], padding=((2, 2), (0, 0)))))
+            t = ctx.site(f"{name}.m2", jax.nn.relu(
+                _conv(ctx, t, p["mid2"], padding=((0, 0), (2, 2)))))
+        else:
+            t = ctx.site(f"{name}.m1", jax.nn.relu(
+                _conv(ctx, t, p["mid1"], padding=dil, dilation=dil)))
+        out = _conv(ctx, t, p["expand"])  # BN folded; relu after residual
+        return ctx.site(f"{name}.out", jax.nn.relu(out + ident))
+
+    cur = ctx.site("input", x.astype(jnp.float32))
+    conv_part = _conv(ctx, cur, qp["init"]["conv"], stride=2, padding=1)
+    pool_part = _maxpool(cur).f(ctx.dtype) \
+        * jnp.asarray(qp["init"]["pool_inv"], ctx.dtype) \
+        + jnp.asarray(qp["init"]["pool_shift"], ctx.dtype)
+    cur = ctx.site("init.out", jax.nn.relu(
+        jnp.concatenate([conv_part, pool_part], axis=-1)))
+
+    for i, spec in enumerate(_ENET_SPECS):
+        cur = bottleneck(f"bn{i}", cur, spec, qp[f"bn{i}"])
+
+    for i in range(2):  # ConvT k3 s2 p1 op1 -> pad (k-1-p, k-1-p+op) = (1,2)
+        up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
+                   padding=((1, 2), (1, 2)))
+        cur = ctx.site(f"up{i}.out", jax.nn.relu(up))
+    head = _conv(ctx, cur, qp["head"], lhs_dilation=(2, 2),
+                 padding=((1, 1), (1, 1)))  # ConvT k2 s2
+    return head.astype(jnp.float32)
+
+
+def _forward_segformer_lite(qp, scales, x, collect=None, dtype=jnp.bfloat16,
+                            policy=None):
+    """SegFormer-Lite forward on folded params (default logits ordering:
+    upsample then sigmoid — models/segformer_lite.py). Attention matmuls
+    and softmax run in the compute dtype / f32 off int8-read inputs; the
+    convs (patch embeds, spatial reductions, Mix-FFN, decoder) follow the
+    int8 policy."""
+    from coastline.ops.primitives import bilinear_resize
+
+    ctx = _Ctx(scales, collect, dtype, policy)
+    h, w = x.shape[1], x.shape[2]
+
+    def esa(name, cur: _QT, p, heads: int, red: int) -> jnp.ndarray:
+        n, hh, ww, c = cur.q.shape
+        dh = c // heads
+        q = _conv(ctx, cur, p["q"])
+        xr = ctx.site(f"{name}.xr",
+                      _conv(ctx, cur, p["sr"], stride=red))
+        kv = _conv(ctx, xr, p["kv"])
+        hr, wr = xr.q.shape[1], xr.q.shape[2]
+        q = q.reshape(n, hh * ww, heads, dh).transpose(0, 2, 1, 3)
+        k = kv[..., :c].reshape(n, hr * wr, heads, dh).transpose(0, 2, 1, 3)
+        v = kv[..., c:].reshape(n, hr * wr, heads, dh).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("nhqd,nhkd->nhqk", q, k) * (dh ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(ctx.dtype)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, hh, ww, c)
+        return _conv(ctx, ctx.site(f"{name}.o", out), p["proj"])
+
+    def ffn(name, cur: _QT, p) -> jnp.ndarray:
+        t = _conv(ctx, cur, p["c1"])
+        groups = t.shape[-1]
+        t = ctx.site(f"{name}.h", t)
+        t = _conv(ctx, t, p["dw"], padding=1, groups=groups)
+        t = ctx.site(f"{name}.g", jax.nn.gelu(t, approximate=False))
+        return _conv(ctx, t, p["c2"])
+
+    def stage(i, cur: _QT, stride, pad, heads, red) -> _QT:
+        c = ctx.site(f"c{i}", jax.nn.gelu(
+            _conv(ctx, cur, qp[f"c{i}"], stride=stride, padding=pad),
+            approximate=False))
+        if heads is None:
+            return c
+        c = ctx.site(f"c{i}.a", c.f(ctx.dtype)
+                     + esa(f"esa{i}", c, qp[f"esa{i}"], heads, red))
+        return ctx.site(f"c{i}.f", c.f(ctx.dtype)
+                        + ffn(f"ffn{i}", c, qp[f"ffn{i}"]))
+
+    cur = ctx.site("input", x.astype(jnp.float32))
+    c1 = stage(0, cur, 4, 3, 1, 8)
+    c2 = stage(1, c1, 2, 1, 2, 4)
+    c3 = stage(2, c2, 2, 1, 4, 2)
+    c4 = stage(3, c3, 2, 1, None, None)
+
+    size = (c1.q.shape[1], c1.q.shape[2])
+    f4 = bilinear_resize(_conv(ctx, c4, qp["f4"]), size)
+    f3 = bilinear_resize(_conv(ctx, c3, qp["f3"]), size)
+    f2 = bilinear_resize(_conv(ctx, c2, qp["f2"]), size)
+    f1 = _conv(ctx, c1, qp["f1"])
+    cat = ctx.site("dec.cat", jnp.concatenate([f4, f3, f2, f1], axis=-1))
+    fused = ctx.site("c4f", jax.nn.relu(_conv(ctx, cat, qp["c4"])))
+    head = ctx.site("c5h", jax.nn.relu(
+        _conv(ctx, fused, qp["c5"], padding=1)))
+    logits = _conv(ctx, head, qp["head"]).astype(jnp.float32)
+    return bilinear_resize(logits, (h, w))
+
+
 # arch name -> (fold fn, forward fn, sigmoid head?)
 ARCHS = {
     "robust_unet": (fold_robust_unet, _forward, True),
@@ -719,6 +1101,11 @@ ARCHS = {
     "mswnet": (fold_mswnet, _forward_mswnet, True),
     "waternet": (fold_waternet, _forward_waternet, True),
     "pspnet": (fold_pspnet, _forward_pspnet, True),
+    "yoloseg": (fold_yoloseg, _forward_yoloseg, True),
+    "hrnet_water": (fold_hrnet_water, _forward_hrnet_water, True),
+    "fastscnn": (fold_fastscnn, _forward_fastscnn, True),
+    "enet": (fold_enet, _forward_enet, True),
+    "segformer_lite": (fold_segformer_lite, _forward_segformer_lite, True),
 }
 
 

@@ -1,9 +1,11 @@
 """Per-architecture bf16-vs-int8 serving throughput on the real chip.
 
-Completes the QUANT.md adoption table for the round-3 additions: MSWNet
-(U-Net-shaped, 24.8M params — predicted win like UNet/SegNet), WaterNet
-(U-Net-shaped, 7.7M — predicted win) and PSPNet (strided /16 encoder,
-6.5M — predicted loss like DeepLabV3+). Mock calibration scales are fine
+Completes the QUANT.md adoption table for every arch beyond the four
+already measured (robust_unet/unet/segnet/deeplabv3p): the U-Net-shaped
+MSWNet (24.8M params) and WaterNet (7.7M — predicted wins like
+UNet/SegNet), the strided-encoder PSPNet (6.5M — predicted loss like
+DeepLabV3+), and the round-3 zoo completions YOLOSeg, HRNet-Water,
+Fast-SCNN, ENet and SegFormer-Lite. Mock calibration scales are fine
 for timing (the graph is identical regardless of scale values); accuracy
 is gated separately (tests/test_quant.py).
 
@@ -36,6 +38,11 @@ MODELS = {
     "mswnet": ("coastline.models.mswnet", "MSWNet"),
     "waternet": ("coastline.models.waternet", "WaterNet"),
     "pspnet": ("coastline.models.pspnet", "PSPNet"),
+    "yoloseg": ("coastline.models.yoloseg", "YOLOSeg"),
+    "hrnet_water": ("coastline.models.hrnet_water", "HRNetWater"),
+    "fastscnn": ("coastline.models.fastscnn", "FastSCNN"),
+    "enet": ("coastline.models.enet", "ENet"),
+    "segformer_lite": ("coastline.models.segformer_lite", "SegFormerLite"),
 }
 
 
@@ -55,12 +62,12 @@ def main():
         folded = quant.ARCHS[arch][0](v)
         calib = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 512, 3),
                                   jnp.float32)
-        scales = quant.calibrate(folded, calib, batch_size=2)
+        scales = quant.calibrate(folded, calib, batch_size=2, arch=arch)
         qp = quant.quantize_folded(folded)
 
         # tiny-shape compile probe first (novel HLO pattern safety)
         xt = jax.random.normal(rng, (2, 64, 64, 3), jnp.float32)
-        st = quant.calibrate(folded, xt, batch_size=2)
+        st = quant.calibrate(folded, xt, batch_size=2, arch=arch)
         jax.jit(lambda p, xx: quant.int8_forward(p, st, xx, arch=arch)
                 )(qp, xt).block_until_ready()
         print(f"{arch}: tiny-shape int8 compile OK", file=sys.stderr)

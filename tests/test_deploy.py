@@ -156,12 +156,42 @@ def test_export_cli_quantized_out(tmp_path):
 
 
 def test_export_cli_quantized_rejects_unsupported_arch(tmp_path):
+    """All 12 zoo archs fold now; the fail-fast gate still guards truly
+    unknown arch names before any checkpoint IO."""
     from coastline.cli.export import main as export_main
 
     with pytest.raises(SystemExit, match="no int8 fold"):
         export_main(["--checkpoint-dir", str(tmp_path), "--quantized-out",
-                     str(tmp_path / "x.npz"), "--arch", "ENet",
+                     str(tmp_path / "x.npz"), "--arch", "NoSuchNet",
                      "--image-size", "64"])
+
+
+@pytest.mark.parametrize("arch,mod,cls", [
+    ("fastscnn", "coastline.models.fastscnn", "FastSCNN"),
+    ("enet", "coastline.models.enet", "ENet"),
+])
+def test_new_arch_npz_roundtrip(arch, mod, cls, tmp_path):
+    """The round-3 zoo completions introduce new folded-tree node shapes —
+    FastSCNN's depthwise 'dw' entries (kept f32 by slimming: grouped convs
+    always read w) and ENet's raw 'pool_inv'/'pool_shift' affine arrays —
+    all of which must survive the slim .npz round-trip bit-exactly."""
+    M = getattr(__import__(mod, fromlist=[cls]), cls)
+    m = M(dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    v = m.init({"params": rng, "dropout": rng}, x)
+    qm = quant.QuantizedModel.from_variables(v, x, batch_size=2, arch=arch)
+    ref = np.asarray(qm(x))
+    path = tmp_path / "w.npz"
+    deploy.save_quantized(path, qm)
+    back = deploy.load_quantized(path)
+    assert back.arch == arch
+    np.testing.assert_array_equal(ref, np.asarray(back(x)))
+    if arch == "enet":
+        np.testing.assert_array_equal(back.qparams["init"]["pool_inv"],
+                                      np.asarray(qm.qparams["init"]["pool_inv"]))
+    else:
+        assert "w" in back.qparams["ds9"]["dw"]  # grouped conv keeps f32 w
 
 
 def test_slim_respects_convT_policy(qmodel, tmp_path):

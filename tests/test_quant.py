@@ -227,12 +227,29 @@ def test_server_on_quantized_extractor():
                                     ).WaterNet(dtype=jnp.float32)),
     ("pspnet", lambda: __import__("coastline.models.pspnet",
                                   fromlist=["PSPNet"]).PSPNet(dtype=jnp.float32)),
+    ("yoloseg", lambda: __import__("coastline.models.yoloseg",
+                                   fromlist=["YOLOSeg"]
+                                   ).YOLOSeg(dtype=jnp.float32)),
+    ("hrnet_water", lambda: __import__("coastline.models.hrnet_water",
+                                       fromlist=["HRNetWater"]
+                                       ).HRNetWater(dtype=jnp.float32)),
+    ("fastscnn", lambda: __import__("coastline.models.fastscnn",
+                                    fromlist=["FastSCNN"]
+                                    ).FastSCNN(dtype=jnp.float32)),
+    ("enet", lambda: __import__("coastline.models.enet",
+                                fromlist=["ENet"]).ENet(dtype=jnp.float32)),
+    ("segformer_lite", lambda: __import__(
+        "coastline.models.segformer_lite",
+        fromlist=["SegFormerLite"]).SegFormerLite(dtype=jnp.float32)),
 ])
 def test_more_archs_fold_and_int8(arch, model_fn):
-    """SegNet (indexed unpool on codes), DeepLabV3+ (strided stem, ASPP
-    global-pool broadcast, ConvT+BN fold) and MSWNet (multi-scale branch
-    blocks, 1024-ch bridge): f32 anchor vs apply, then the int8 path runs
-    and agrees."""
+    """Every remaining zoo architecture: f32 anchor vs apply, then the
+    int8 path runs and agrees. Covers SegNet (indexed unpool on codes),
+    DeepLabV3+ (strided stem, ASPP global-pool broadcast, ConvT+BN fold),
+    MSWNet (multi-scale branches, 1024-ch bridge), WaterNet/PSPNet, plus
+    YOLOSeg (leaky), HRNet-Water (branch fusion), Fast-SCNN (depthwise
+    grouped + pyramid), ENet (split-BN initial block, asymmetric/dilated
+    bottlenecks), SegFormer-Lite (spatial-reduction attention, Mix-FFN)."""
     m = model_fn()
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
