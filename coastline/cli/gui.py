@@ -2,10 +2,13 @@
 
 Functional parity with the reference's `CoastlineGUI` + `ZoomableImageCanvas`
 (`/root/reference/predict_coastline.py:34-253,848-1544`): model auto-load,
-single/multi/folder selection, background-thread batch processing with a
-progress bar, tabbed result viewer with wheel-zoom/drag-pan canvases, a
-per-image result browser (every processed image stays selectable and
-re-viewable, like the reference's result list), batch save. Kept
+single/multi/folder selection, an input queue with the reference's list
+management (reorder/remove/clear, :1201-1277), background-thread batch
+processing with a progress bar, tabbed result viewer with
+wheel-zoom/drag-pan canvases, a per-image result browser (every processed
+image stays selectable and re-viewable, like the reference's result list)
+with prev/next navigation and a position label (:1279-1307), clear-results,
+batch save. Kept
 deliberately thin: ALL compute lives in `coastline.infer.CoastlineExtractor`
 (device-side), and — unlike the reference, whose worker thread mutates GUI
 state unguarded (SURVEY.md §5.2) — results pass through a thread-safe queue
@@ -57,6 +60,73 @@ class ResultStore:
 
     def clear(self):
         self._entries.clear()
+
+    def prev_index(self, current):
+        """Previous browsable index (clamped), reference prev_image
+        (`predict_coastline.py:1279-1288`)."""
+        if not self._entries:
+            return None
+        return max(0, (len(self._entries) - 1 if current is None
+                       else current) - 1)
+
+    def next_index(self, current):
+        """Next browsable index (clamped), reference next_image
+        (`predict_coastline.py:1290-1299`)."""
+        if not self._entries:
+            return None
+        return min(len(self._entries) - 1,
+                   (0 if current is None else current) + 1)
+
+
+class ImageQueue:
+    """Ordered input-image list with the reference GUI's list-management
+    operations (`predict_coastline.py:1201-1277`): append/replace
+    selections, reorder (move up/down), remove one, clear. Tkinter-free
+    so the manipulation logic is testable headless."""
+
+    def __init__(self):
+        self._paths = []
+
+    @property
+    def paths(self):
+        return list(self._paths)
+
+    def __len__(self):
+        return len(self._paths)
+
+    def set(self, paths):
+        self._paths = list(paths)
+
+    def add(self, paths):
+        # de-dup like the reference's select handlers (:1158-1199)
+        for p in paths:
+            if p not in self._paths:
+                self._paths.append(p)
+
+    def move_up(self, index):
+        """Swap with the previous entry; returns the new index."""
+        if index is None or index <= 0 or index >= len(self._paths):
+            return index
+        self._paths[index - 1], self._paths[index] = (
+            self._paths[index], self._paths[index - 1])
+        return index - 1
+
+    def move_down(self, index):
+        if index is None or index < 0 or index >= len(self._paths) - 1:
+            return index
+        self._paths[index + 1], self._paths[index] = (
+            self._paths[index], self._paths[index + 1])
+        return index + 1
+
+    def remove(self, index):
+        if index is not None and 0 <= index < len(self._paths):
+            self._paths.pop(index)
+
+    def clear(self):
+        self._paths.clear()
+
+    def labels(self):
+        return [os.path.basename(p) for p in self._paths]
 
 
 def drain_queue(q, store, *, on_status=None, on_result=None, on_ready=None,
@@ -170,7 +240,7 @@ def main(argv=None):
             root.title("coastline — TPU coastline extraction")
             root.geometry("1100x750")
             self.queue = queue.Queue()
-            self.paths = []
+            self.images = ImageQueue()
             self.store = ResultStore()
             self.extractor = None  # set by the loader thread; Run gated on it
 
@@ -182,6 +252,8 @@ def main(argv=None):
                                       state="disabled")
             self.run_btn.pack(side="left", padx=8)
             ttk.Button(bar, text="Save all…", command=self.save_all).pack(side="left")
+            ttk.Button(bar, text="Clear results",
+                       command=self.clear_results).pack(side="left", padx=4)
             self.dilation = tk.IntVar(value=20)  # GUI default (reference :870)
             ttk.Label(bar, text="dilation").pack(side="left", padx=(12, 2))
             ttk.Spinbox(bar, from_=1, to=60, textvariable=self.dilation,
@@ -193,14 +265,34 @@ def main(argv=None):
 
             body = ttk.Frame(root)
             body.pack(fill="both", expand=True, padx=6, pady=4)
-            # result browser: every processed image stays selectable
-            # (reference predict_coastline.py:848-1544)
             left = ttk.Frame(body)
             left.pack(side="left", fill="y")
+            # input queue with the reference's list management
+            # (predict_coastline.py:1201-1277)
+            ttk.Label(left, text="Images").pack(anchor="w")
+            self.queue_box = tk.Listbox(left, width=32, height=8)
+            self.queue_box.pack(fill="x")
+            qbar = ttk.Frame(left)
+            qbar.pack(fill="x")
+            for text, cmd in (("↑", self.queue_up), ("↓", self.queue_down),
+                              ("✕", self.queue_remove),
+                              ("Clear", self.queue_clear)):
+                ttk.Button(qbar, text=text, width=5 if text == "Clear" else 2,
+                           command=cmd).pack(side="left")
+            # result browser: every processed image stays selectable
+            # (reference predict_coastline.py:848-1544)
             ttk.Label(left, text="Results").pack(anchor="w")
             self.listbox = tk.Listbox(left, width=32)
             self.listbox.pack(fill="y", expand=True)
             self.listbox.bind("<<ListboxSelect>>", self._on_select)
+            nav = ttk.Frame(left)
+            nav.pack(fill="x")
+            ttk.Button(nav, text="◀ Prev",
+                       command=lambda: self._nav(-1)).pack(side="left")
+            self.nav_label = ttk.Label(nav, text="0/0")
+            self.nav_label.pack(side="left", expand=True)
+            ttk.Button(nav, text="Next ▶",
+                       command=lambda: self._nav(+1)).pack(side="right")
 
             tabs = ttk.Notebook(body)
             tabs.pack(side="left", fill="both", expand=True)
@@ -235,38 +327,65 @@ def main(argv=None):
                 self.queue.put(("status", f"model load failed: {e}"))
 
         def pick_images(self):
-            self.paths = list(
+            picked = list(
                 filedialog.askopenfilenames(
                     filetypes=[("images", "*.png *.jpg *.jpeg *.tif *.tiff")]
                 )
             )
-            self.status.set(f"{len(self.paths)} image(s) selected")
+            self.images.add(picked)
+            self._refresh_queue()
 
         def pick_folder(self):
             folder = filedialog.askdirectory()
             if folder:
                 exts = (".png", ".jpg", ".jpeg", ".tif", ".tiff")
-                self.paths = [
+                self.images.add([
                     os.path.join(folder, f)
                     for f in sorted(os.listdir(folder))
                     if f.lower().endswith(exts)
-                ]
-                self.status.set(f"{len(self.paths)} image(s) in folder")
+                ])
+                self._refresh_queue()
+
+        def _refresh_queue(self, select=None):
+            self.queue_box.delete(0, "end")
+            for label in self.images.labels():
+                self.queue_box.insert("end", label)
+            if select is not None and len(self.images):
+                self.queue_box.selection_set(select)
+            self.status.set(f"{len(self.images)} image(s) queued")
+
+        def _queue_sel(self):
+            sel = self.queue_box.curselection()
+            return sel[0] if sel else None
+
+        def queue_up(self):
+            self._refresh_queue(self.images.move_up(self._queue_sel()))
+
+        def queue_down(self):
+            self._refresh_queue(self.images.move_down(self._queue_sel()))
+
+        def queue_remove(self):
+            self.images.remove(self._queue_sel())
+            self._refresh_queue()
+
+        def queue_clear(self):
+            self.images.clear()
+            self._refresh_queue()
 
         def run(self):
             if self.extractor is None:
                 messagebox.showinfo("coastline", "model is still loading")
                 return
-            if not self.paths:
+            if not len(self.images):
                 messagebox.showinfo("coastline", "select images first")
                 return
-            self.store.clear()
-            self.listbox.delete(0, "end")
-            self.progress.configure(maximum=len(self.paths), value=0)
-            threading.Thread(target=self._worker, daemon=True).start()
+            self.clear_results()
+            self.progress.configure(maximum=len(self.images), value=0)
+            threading.Thread(target=self._worker,
+                             args=(self.images.paths,), daemon=True).start()
 
-        def _worker(self):
-            for i, p in enumerate(self.paths):
+        def _worker(self, paths):
+            for i, p in enumerate(paths):
                 try:
                     result = self.extractor.extract_coastline_from_image(
                         p, None, self.dilation.get()
@@ -291,20 +410,37 @@ def main(argv=None):
 
         def _on_result(self, i, idx, path, result):
             self.progress.configure(value=i + 1)
-            self.status.set(f"processed {i + 1}/{len(self.paths)}")
+            self.status.set(f"processed {i + 1}/{self.progress['maximum']}")
             self.listbox.insert("end", self.store.labels()[idx])
             if result is not None:
-                self.listbox.selection_clear(0, "end")
-                self.listbox.selection_set(idx)
+                self._select_result(idx)
+
+        def _select_result(self, idx):
+            self.listbox.selection_clear(0, "end")
+            self.listbox.selection_set(idx)
+            self.nav_label.configure(text=f"{idx + 1}/{len(self.store)}")
+            path, result = self.store.get(idx)
+            if result is not None:
                 self._show(path, result)
 
         def _on_select(self, _event=None):
             sel = self.listbox.curselection()
-            if not sel:
-                return
-            path, result = self.store.get(sel[0])
-            if result is not None:
-                self._show(path, result)
+            if sel:
+                self._select_result(sel[0])
+
+        def _nav(self, step):
+            sel = self.listbox.curselection()
+            cur = sel[0] if sel else None
+            idx = (self.store.next_index(cur) if step > 0
+                   else self.store.prev_index(cur))
+            if idx is not None:
+                self._select_result(idx)
+
+        def clear_results(self):
+            self.store.clear()
+            self.listbox.delete(0, "end")
+            self.nav_label.configure(text="0/0")
+            self.progress.configure(value=0)
 
         def _show(self, path, result):
             import numpy as np

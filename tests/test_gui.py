@@ -9,7 +9,7 @@ result list) are exactly the parts tested here.
 
 import queue
 
-from coastline.cli.gui import ResultStore, drain_queue
+from coastline.cli.gui import ImageQueue, ResultStore, drain_queue
 
 
 def _mk_result(tag):
@@ -76,3 +76,48 @@ def test_drain_queue_empty_is_noop():
     store = ResultStore()
     assert drain_queue(q, store) == 0
     assert len(store) == 0
+
+
+def test_image_queue_list_management():
+    """The reference GUI's input-list operations
+    (`predict_coastline.py:1201-1277`): de-dup add, reorder, remove,
+    clear — as pure index math on ImageQueue."""
+    iq = ImageQueue()
+    iq.add(["/d/a.png", "/d/b.png"])
+    iq.add(["/d/b.png", "/d/c.png"])  # duplicate b is dropped
+    assert iq.paths == ["/d/a.png", "/d/b.png", "/d/c.png"]
+    assert iq.labels() == ["a.png", "b.png", "c.png"]
+
+    assert iq.move_up(2) == 1  # c above b
+    assert iq.paths == ["/d/a.png", "/d/c.png", "/d/b.png"]
+    assert iq.move_up(0) == 0  # clamped at top
+    assert iq.move_down(2) == 2  # clamped at bottom
+    assert iq.move_down(None) is None  # no selection is a no-op
+    assert iq.move_down(0) == 1
+    assert iq.paths == ["/d/c.png", "/d/a.png", "/d/b.png"]
+
+    iq.remove(1)
+    assert iq.paths == ["/d/c.png", "/d/b.png"]
+    iq.remove(None)  # no selection is a no-op
+    assert len(iq) == 2
+    iq.set(["/d/z.png"])
+    assert iq.paths == ["/d/z.png"]
+    iq.clear()
+    assert len(iq) == 0 and iq.labels() == []
+
+
+def test_result_store_prev_next_navigation():
+    """Prev/next browsing is clamped at the ends (reference
+    `predict_coastline.py:1279-1307`) and defined from no selection."""
+    store = ResultStore()
+    assert store.prev_index(None) is None  # empty store: nothing to show
+    assert store.next_index(None) is None
+    for i, p in enumerate(["/r/0.png", "/r/1.png", "/r/2.png"]):
+        store.add(p, _mk_result(str(i)))
+
+    assert store.next_index(None) == 1  # from unselected: step from start
+    assert store.prev_index(None) == 1  # from unselected: step from end
+    assert store.next_index(0) == 1 and store.next_index(1) == 2
+    assert store.next_index(2) == 2  # clamped
+    assert store.prev_index(2) == 1 and store.prev_index(1) == 0
+    assert store.prev_index(0) == 0  # clamped
