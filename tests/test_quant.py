@@ -198,6 +198,43 @@ def test_int8_forward_under_data_mesh(small_model):
                                atol=2e-3)
 
 
+def test_int8_segformer_under_data_mesh():
+    """The attention-bearing arch composes with GSPMD too: SegFormer's
+    spatial-reduction einsum + f32 softmax over int8-read inputs must be
+    batch-partitionable without changing the output (attention never
+    mixes batch elements, so sharding 'data' is embarrassingly parallel
+    — this pins that XLA agrees once quant sites are in the graph)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coastline.models.segformer_lite import SegFormerLite
+    from coastline.parallel.mesh import make_mesh
+
+    m = SegFormerLite(dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    v = m.init({"params": rng, "dropout": rng}, x)
+    folded = quant.fold_segformer_lite(v)
+    scales = quant.calibrate(folded, x, batch_size=2, arch="segformer_lite")
+    qp = quant.quantize_folded(folded)
+    xb = jnp.concatenate([x, x[::-1]], axis=0)  # batch 4
+
+    single = jax.jit(lambda p, xx: quant.int8_forward(
+        p, scales, xx, arch="segformer_lite"))(qp, xb)
+
+    mesh = make_mesh(4, space=1)
+    xsh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def sharded(p, xx):
+        xx = jax.lax.with_sharding_constraint(xx, xsh)
+        return quant.int8_forward(p, scales, xx, arch="segformer_lite")
+
+    out = sharded(jax.device_put(qp, NamedSharding(mesh, P())),
+                  jax.device_put(xb, xsh))
+    np.testing.assert_allclose(np.asarray(single), np.asarray(out),
+                               atol=2e-3)
+
+
 def test_server_on_quantized_extractor():
     """The micro-batching server runs unchanged on the int8 predict path."""
     from coastline.infer.extract import CoastlineExtractor
