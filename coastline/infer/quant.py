@@ -1,7 +1,10 @@
-"""Int8 post-training quantization for RobustUNet inference (TPU-native).
+"""Int8 post-training quantization for the model zoo (TPU-native).
 
 The reference serves fp32 torch (`/root/reference/predict_coastline.py`);
 this module is a deployment-grade speed path beyond reference parity.
+All 12 reference architectures fold and quantize (`ARCHS`); the design
+notes below are written against the flagship RobustUNet, whose op set
+(deep convs, CBAM epilogues, ConvT decoder) drove the policy choices.
 Inference on one v5e is HBM-bandwidth-bound at ~56-58% of peak
 (docs/TRAIN_ROOFLINE.md): activations in int8 halve the remaining traffic
 and the MXU runs int8 matmuls at 2x bf16 throughput (394 TOPS). Probed on
