@@ -19,7 +19,8 @@ Layer map (mirrors SURVEY.md §7):
   models/    the 12-architecture zoo + registry
   train/     jitted train/eval steps, losses, fused on-device metrics,
              plateau LR control, production trainer, Orbax checkpointing
-  parallel/  device mesh + NamedSharding helpers (data-parallel over ICI)
+  parallel/  device mesh + NamedSharding helpers (data/spatial/multi-slice/
+             tensor-parallel axes over ICI+DCN via GSPMD)
   infer/     predict -> mask -> device-side dilation -> host contour tracing
   report/    training-curve / comparison / error-map / CoastSat-style figures
   cli/       entry points replacing the reference's interactive scripts

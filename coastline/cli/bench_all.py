@@ -74,6 +74,10 @@ def main(argv=None):
                    help="also render per-model error maps (Extended protocol)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over N devices (0 = single chip)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel factor carved out of the "
+                        "--data-parallel device count (channel-sharded "
+                        "params + Adam moments over a 'model' mesh axis)")
     p.add_argument("--protocol", choices=["auto", "main", "comne"], default="auto",
                    help="scheduler wiring: auto = per-model reference protocol "
                         "(comne four step plateau on val/3, rest train/5)")
@@ -116,8 +120,10 @@ def main(argv=None):
     if args.data_parallel:
         from coastline.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.data_parallel)
-        print(f"data-parallel over {args.data_parallel} devices")
+        mesh = make_mesh(args.data_parallel, model=args.model_parallel)
+        print(f"mesh over {args.data_parallel} devices"
+              + (f" (model-parallel x{args.model_parallel})"
+                 if args.model_parallel > 1 else ""))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     names = [m.strip() for m in args.models.split(",") if m.strip()]

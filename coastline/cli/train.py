@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over N devices (0 = single chip)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel factor carved out of the "
+                        "--data-parallel device count: channel-shards "
+                        "params + Adam moments over a 'model' mesh axis "
+                        "(data groups = devices / model)")
     args = p.parse_args(argv)
 
     from coastline.utils.platform import apply_platform_override
@@ -38,7 +43,7 @@ def main(argv=None):
     if args.data_parallel:
         from coastline.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.data_parallel)
+        mesh = make_mesh(args.data_parallel, model=args.model_parallel)
 
     cfg = TrainerConfig(
         epochs=args.epochs,

@@ -16,6 +16,17 @@ TPU-native capability the north star mandates: a `jax.sharding.Mesh` with
               over DCN while everything inside a slice stays on ICI. Call
               sites are unchanged (axes are addressed by name throughout);
               numerics proven equal to single-device in tests.
+
+  * `model` — optional innermost tensor-parallel axis: parameters shard
+              over their CHANNEL dimension (`param_sharding`) so each chip
+              holds 1/N of every large conv kernel, its BN affine/stats
+              slice, and (via `state_sharding`) the matching Adam moments —
+              weight+optimizer memory scales down with the axis. GSPMD
+              propagates the channel sharding through the network (convs
+              contract over a sharded C_in with an all-reduce XLA inserts)
+              — no hand-written collectives, numerics proven equal to
+              single-device in tests. Innermost placement keeps each
+              model group on adjacent ICI neighbours.
 """
 
 from typing import Optional, Sequence
@@ -30,26 +41,34 @@ def make_mesh(
     space: int = 1,
     devices: Optional[Sequence] = None,
     dcn: int = 1,
+    model: int = 1,
 ) -> Mesh:
     """Build a ('data', 'space') mesh over the first `n_devices` devices —
-    or ('dcn', 'data', 'space') when dcn > 1 (multi-slice: the outer axis
+    extended with an outer 'dcn' axis when dcn > 1 (multi-slice: that axis
     ranges over slices connected by data-center network, the inner axes
-    stay within a slice's ICI).
+    stay within a slice's ICI) and an innermost 'model' tensor-parallel
+    axis when model > 1 (channel-sharded parameters via `param_sharding`).
 
     space=1 (default) is pure data parallelism; space>1 carves each data
     group into a spatial-partitioning subgroup. Batch sharding spans
     ('dcn', 'data') jointly, so gradient all-reduces decompose into a
     cheap intra-slice ICI reduce plus one small cross-slice DCN reduce —
-    the layout GSPMD picks when the outer axis is leading.
+    the layout GSPMD picks when the outer axis is leading. The 'model'
+    axis is innermost so each tensor-parallel group sits on adjacent ICI
+    neighbours, where its per-layer all-reduces are cheapest.
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    if n % (space * dcn) != 0:
-        raise ValueError(f"{n} devices not divisible by space={space} x dcn={dcn}")
+    if n % (space * dcn * model) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by space={space} x dcn={dcn} "
+            f"x model={model}")
+    model_dims = (model,) if model > 1 else ()
+    model_names = ("model",) if model > 1 else ()
     if dcn > 1:
-        inner = n // (space * dcn)
+        inner = n // (space * dcn * model)
         # The 'dcn' axis only maps onto actual DCN links if each row of the
         # grid is one slice. Real multi-slice devices expose `slice_index`;
         # group by it (via mesh_utils, which also optimizes the intra-slice
@@ -59,14 +78,17 @@ def make_mesh(
         if None not in slice_ids and len(slice_ids) == dcn:
             from jax.experimental import mesh_utils
 
+            inner_shape = (1, inner, space) + model_dims
             grid = mesh_utils.create_hybrid_device_mesh(
-                (1, inner, space), (dcn, 1, 1), devices=devices
+                inner_shape, (dcn,) + (1,) * (len(inner_shape) - 1),
+                devices=devices,
             )
         else:
-            grid = np.asarray(devices).reshape(dcn, inner, space)
-        return Mesh(grid, ("dcn", "data", "space"))
-    grid = np.asarray(devices).reshape(n // space, space)
-    return Mesh(grid, ("data", "space"))
+            grid = np.asarray(devices).reshape(dcn, inner, space, *model_dims)
+        return Mesh(grid, ("dcn", "data", "space") + model_names)
+    grid = np.asarray(devices).reshape(
+        n // (space * model), space, *model_dims)
+    return Mesh(grid, ("data", "space") + model_names)
 
 
 def _data_axes(mesh: Mesh):
@@ -89,6 +111,56 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, tree):
+    """Channel-shard a parameter tree over the 'model' axis.
+
+    Every array whose LAST dimension is a multiple of (and larger than)
+    the model-axis size shards that dimension: conv kernels (kh, kw, cin,
+    cout) and Dense kernels (in, out) split their output channels, and
+    the matching biases / BN scale-bias-mean-var vectors (C,) split the
+    same way, so a layer's whole parameter group lands on one shard
+    boundary. Small heads (C < axis) and scalars stay replicated. Without
+    a 'model' axis this is `replicated` everywhere (so call sites can be
+    unconditional).
+
+    Tensor-parallel semantics come from GSPMD: convolutions against a
+    cout-sharded kernel yield channel-sharded activations, the next conv
+    contracts over that sharded C_in with an XLA-inserted all-reduce, and
+    BatchNorm's per-channel statistics stay shard-local. Proven loss- and
+    forward-equal to single-device in tests/test_parallel.py.
+    """
+    if "model" not in mesh.axis_names:
+        rep = replicated(mesh)
+        return jax.tree.map(lambda _: rep, tree)
+    m = int(mesh.shape["model"])
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[-1] > m and shape[-1] % m == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, tree)
+
+
+def state_sharding(mesh: Mesh, state):
+    """Sharding tree for a `train.loop.TrainState`: params, batch_stats and
+    the Adam moments channel-shard via `param_sharding` (optimizer memory
+    scales down with the 'model' axis — the moments mirror the params);
+    step / plateau / rng scalars replicate. `jax.device_put(state,
+    state_sharding(mesh, state))` places a fresh state for `mesh`."""
+    rep = replicated(mesh)
+    return state.replace(
+        step=rep,
+        params=param_sharding(mesh, state.params),
+        batch_stats=param_sharding(mesh, state.batch_stats),
+        opt_state=param_sharding(mesh, state.opt_state),
+        plateau=jax.tree.map(lambda _: rep, state.plateau),
+        rng=rep,
+    )
 
 
 def shard_dataset(mesh: Mesh, images: np.ndarray, masks: np.ndarray):

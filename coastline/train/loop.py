@@ -309,6 +309,7 @@ class Evaluator:
     def __init__(self, model, config: TrainConfig, augment_fn=None, mesh=None):
         self.model = model
         self.config = config
+        self.mesh = mesh
         self._train_epoch = make_train_epoch(model, config, augment_fn, mesh)
         self._eval_epoch = make_eval_epoch(model, config, mesh)
         from coastline.utils.metrics_log import JsonlLogger
@@ -386,6 +387,13 @@ class Evaluator:
                     init_variables.get("batch_stats", state.batch_stats),
                 ),
             )
+        if self.mesh is not None:
+            # place the state for the mesh: replicated for dp/space/dcn,
+            # channel-sharded params + Adam moments when a 'model'
+            # (tensor-parallel) axis is present
+            from coastline.parallel.mesh import state_sharding
+
+            state = jax.device_put(state, state_sharding(self.mesh, state))
         host_rng = np.random.default_rng(cfg.seed)
         history = {k: [] for k in ("train_loss", "val_loss", "val_iou", "val_f1", "val_accuracy")}
         best_iou = 0.0

@@ -189,6 +189,10 @@ class WaterSegmentationTrainer:
 
         h, w = train_ds.images.shape[1:3]
         state = create_train_state(self.model, loop_cfg, (1, h, w, 3))
+        if self.mesh is not None:
+            from coastline.parallel.mesh import state_sharding
+
+            state = jax.device_put(state, state_sharding(self.mesh, state))
         ckpt = CheckpointManager(cfg.save_dir)
         host_rng = np.random.default_rng(cfg.seed)
 

@@ -181,6 +181,108 @@ def test_dcn_step_matches_single_device():
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
 
 
+def test_model_mesh_shapes_and_param_sharding():
+    from jax.sharding import PartitionSpec as P
+
+    from coastline.parallel.mesh import (
+        batch_sharding, make_mesh, param_sharding,
+    )
+
+    mesh = make_mesh(8, space=2, model=2)
+    assert mesh.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("data", "space", "model")
+    # batch stays over (data, space); channels replicate over 'model'
+    assert batch_sharding(mesh).spec == P("data", "space")
+    with pytest.raises(ValueError):
+        make_mesh(8, space=2, model=3)
+
+    tree = {
+        "kernel": jnp.zeros((3, 3, 16, 32)),   # cout shards
+        "bias": jnp.zeros((32,)),              # matching channel shard
+        "head": jnp.zeros((1, 1, 32, 1)),      # cout=1: replicated
+        "rng": jnp.zeros((2,), jnp.uint32),    # last dim == axis: replicated
+        "count": jnp.zeros(()),                # scalar: replicated
+    }
+    sh = param_sharding(mesh, tree)
+    assert sh["kernel"].spec == P(None, None, None, "model")
+    assert sh["bias"].spec == P("model")
+    assert sh["head"].spec == P()
+    assert sh["rng"].spec == P()
+    assert sh["count"].spec == P()
+
+    # without a 'model' axis the helper degenerates to replicated
+    flat = param_sharding(make_mesh(8), tree)
+    assert all(s.spec == P() for s in jax.tree.leaves(
+        flat, is_leaf=lambda x: hasattr(x, "spec")))
+
+
+def test_tp_step_matches_single_device():
+    """Tensor parallelism (channel-sharded params + Adam moments over the
+    'model' axis) must reproduce the single-device loss: GSPMD inserts the
+    per-layer all-reduces for convs contracting over a sharded C_in, and
+    BN statistics stay shard-local per channel."""
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.fastscnn import FastSCNN
+    from coastline.parallel.mesh import make_mesh, replicated, state_sharding
+    from coastline.train.loop import (
+        TrainConfig, batch_indices, create_train_state, make_train_epoch,
+    )
+
+    size, batch, n = 64, 4, 4
+    ds = synthetic_device_dataset(n, size=size, seed=0)
+    model = FastSCNN()
+    cfg = TrainConfig(epochs=1, batch_size=batch, lr=1e-3)
+    idx, valid = batch_indices(n, batch, shuffle=False, rng=np.random.default_rng(0))
+    idx, valid = jnp.asarray(idx), jnp.asarray(valid)
+
+    state1 = create_train_state(model, cfg, (1, size, size, 3))
+    epoch1 = make_train_epoch(model, cfg)
+    _, loss1 = epoch1(state1, ds.images, ds.masks, idx, valid)
+
+    mesh = make_mesh(8, space=2, model=2)  # dp=2 x sp=2 x tp=2
+    state2 = create_train_state(model, cfg, (1, size, size, 3))
+    state2 = jax.device_put(state2, state_sharding(mesh, state2))
+    # the placement really shards: every large kernel's per-device shard
+    # holds half its channels (weight + optimizer memory scale with tp)
+    big = [p for p in jax.tree.leaves(state2.params)
+           if p.ndim == 4 and p.shape[-1] >= 64]
+    assert big, "expected large conv kernels in FastSCNN"
+    for p in big:
+        assert {s.data.shape for s in p.addressable_shards} == {
+            p.shape[:-1] + (p.shape[-1] // 2,)}
+
+    images = jax.device_put(ds.images, replicated(mesh))
+    masks = jax.device_put(ds.masks, replicated(mesh))
+    epoch2 = make_train_epoch(model, cfg, mesh=mesh)
+    _, loss2 = epoch2(state2, images, masks, idx, valid)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_evaluator_places_state_for_model_mesh():
+    """Evaluator(mesh=...) with a tensor-parallel axis must place the train
+    state itself (channel-sharded params/moments) and produce a normal
+    history — the user-facing TP path (cli/train.py --model-parallel)."""
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.models.fastscnn import FastSCNN
+    from coastline.parallel.mesh import make_mesh
+    from coastline.train.loop import Evaluator, TrainConfig
+
+    ds = synthetic_device_dataset(4, size=32, seed=1)
+    mesh = make_mesh(4, model=2)  # data=2 x model=2
+    ev = Evaluator(FastSCNN(), TrainConfig(epochs=1, batch_size=2, lr=1e-3),
+                   mesh=mesh)
+    out = ev.train_model(ds, ds, verbose=False)
+    assert np.isfinite(out["history"]["train_loss"][0])
+    big = [p for p in jax.tree.leaves(ev.state.params)
+           if p.ndim == 4 and p.shape[-1] >= 64]
+    assert any(
+        {s.data.shape for s in p.addressable_shards}
+        == {p.shape[:-1] + (p.shape[-1] // 2,)}
+        for p in big
+    ), "params should remain channel-sharded through the epoch"
+
+
 def test_local_batch_gather_collective_free_and_exact():
     """VERDICT r2 item 7: the aligned batch gather must stay shard-local —
     no all-gather of the dataset in the compiled HLO — and match the
