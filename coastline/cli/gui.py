@@ -381,6 +381,8 @@ def main(argv=None):
                 return
             self.clear_results()
             self.progress.configure(maximum=len(self.images), value=0)
+            # one batch at a time: re-enabled by the worker's "done" message
+            self.run_btn.configure(state="disabled")
             threading.Thread(target=self._worker,
                              args=(self.images.paths,), daemon=True).start()
 
@@ -402,11 +404,13 @@ def main(argv=None):
                 on_status=self.status.set,
                 on_ready=lambda: self.run_btn.configure(state="normal"),
                 on_result=self._on_result,
-                on_done=lambda: self.status.set(
-                    f"done — {len(self.store.saveable())} succeeded"
-                ),
+                on_done=self._on_done,
             )
             self.root.after(100, self._poll)
+
+        def _on_done(self):
+            self.status.set(f"done — {len(self.store.saveable())} succeeded")
+            self.run_btn.configure(state="normal")
 
         def _on_result(self, i, idx, path, result):
             self.progress.configure(value=i + 1)
