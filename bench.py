@@ -187,15 +187,13 @@ def main():
     train_ips = (B * n_batches) / max(1e-9, min(times) - rtt)
     log(f"train: {train_ips:.2f} images/sec")
 
+    headline_int8 = int8_ok and int8_ips > best_ips
+    value = int8_ips if headline_int8 else best_ips
+
     baseline_path = REPO / "baselines" / "torch_cpu_baseline.json"
     vs = None
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text())
-        vs = best_ips / base["robust_unet_infer_images_per_sec"]
-
-    headline_int8 = int8_ok and int8_ips > best_ips
-    value = int8_ips if headline_int8 else best_ips
-    if baseline_path.exists():
         vs = value / base["robust_unet_infer_images_per_sec"]
     out = {
         "metric": ("robust_unet_512_int8_infer_images_per_sec_per_chip"

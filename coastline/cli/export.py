@@ -60,18 +60,10 @@ def main(argv=None):
     # forward pass compiles just to export.
     if args.quantized_out:
         # fail fast (before any checkpoint IO) if the arch has no int8 fold
-        from coastline.infer.quant import ARCHS
-        from coastline.models.registry import canonical_name
+        from coastline.infer.quant import ARCHS, quant_arch_for
 
-        # registry display name -> quant.ARCHS key (all 12 archs fold)
-        qarch = {"Robust UNet": "robust_unet", "UNet": "unet",
-                 "SegNet": "segnet", "DeepLabV3+": "deeplabv3p",
-                 "MSWNet": "mswnet", "WaterNet": "waternet",
-                 "PSPNet": "pspnet", "YOLO-SEG": "yoloseg",
-                 "HRNet-Water": "hrnet_water", "Fast-SCNN": "fastscnn",
-                 "ENet": "enet", "SegFormer-Lite": "segformer_lite",
-                 }.get(canonical_name(args.arch), args.arch)
-        if qarch not in ARCHS:
+        qarch = quant_arch_for(args.arch)
+        if qarch is None:
             raise SystemExit(
                 f"--quantized-out: {args.arch!r} has no int8 fold "
                 f"(supported: {sorted(ARCHS)}; docs/QUANT.md is the "

@@ -471,10 +471,20 @@ def main(argv=None):
                     self.extractor.save_extraction_result(r, out)
                 self.status.set(f"saved {len(results)} result set(s) to {out}")
 
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="coastline-gui",
+        description="Coastline extraction GUI (reference "
+                    "predict_coastline.py:848-1544 equivalent)")
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize the loaded model to int8 before serving")
+    ap.add_argument("--quantized", metavar="NPZ", default=None,
+                    help="serve directly from a save_quantized .npz")
+    args = ap.parse_args(argv if argv is not None else sys.argv[1:])
+
     root = tk.Tk()
-    av = argv if argv is not None else sys.argv[1:]
-    quantized = av[av.index("--quantized") + 1] if "--quantized" in av else None
-    App(root, int8="--int8" in av, quantized=quantized)
+    App(root, int8=args.int8, quantized=args.quantized)
     root.mainloop()
     return 0
 

@@ -23,6 +23,13 @@ def main(argv=None):
     p.add_argument("--strict-parity-aug", action="store_true",
                    help="reference behavior: rotate/flip image only, not mask")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue bit-exactly from the last resume point "
+                        "in --save-dir (written every --checkpoint-every "
+                        "epochs and at run end)")
+    p.add_argument("--checkpoint-every", type=int, default=5,
+                   help="epochs between crash-safe full-state resume "
+                        "points (0 = end-of-run only)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over N devices (0 = single chip)")
@@ -54,6 +61,7 @@ def main(argv=None):
         augment=not args.no_augment,
         image_only_geometric=args.strict_parity_aug,
         dtype=args.dtype,
+        checkpoint_every=args.checkpoint_every,
     )
     trainer = WaterSegmentationTrainer(cfg, mesh=mesh)
 
@@ -67,7 +75,7 @@ def main(argv=None):
         train_ds, val_ds = trainer.prepare_dataset(args.images_dir, args.labels_dir)
 
     print(f"training on {len(train_ds)} samples, validating on {len(val_ds)}")
-    hist = trainer.train(train_ds, val_ds)
+    hist = trainer.train(train_ds, val_ds, resume=args.resume)
     best = max(hist["iou_scores"]) if hist["iou_scores"] else float("nan")
     print(f"done: best IoU {best:.4f} "
           f"(epoch {hist['best_model_epoch'] + 1}), "

@@ -72,6 +72,7 @@ class HostDataset:
     masks: np.ndarray
     paths: Optional[List[str]] = None
     superbatch: int = 32  # batches uploaded per chunk
+    sharding: object = None  # applied to each uploaded chunk (mesh runs)
 
     def __len__(self):
         return int(self.images.shape[0])
@@ -79,6 +80,22 @@ class HostDataset:
 
 def dataset_nbytes(images: np.ndarray, masks: np.ndarray) -> int:
     return int(images.nbytes + masks.nbytes)
+
+
+def _per_device_nbytes(a: np.ndarray, sharding) -> int:
+    """Bytes ONE device holds for `a` under `sharding` (a.nbytes if None).
+
+    A dataset sharded 8-ways costs each chip 1/8th of its total; the
+    device-resident budget must compare against that, not the global size,
+    or multi-chip runs get demoted to host-chunked uploads for datasets
+    that fit their mesh comfortably."""
+    if sharding is None:
+        return int(a.nbytes)
+    try:
+        shard = sharding.shard_shape(np.shape(a))
+        return int(np.prod(shard)) * a.dtype.itemsize
+    except Exception:  # non-NamedSharding placements: assume unsharded
+        return int(a.nbytes)
 
 
 def make_dataset(images: np.ndarray, masks: np.ndarray, paths=None,
@@ -92,25 +109,33 @@ def make_dataset(images: np.ndarray, masks: np.ndarray, paths=None,
     raises a sized, actionable error instead of letting XLA fail with an
     opaque allocation message."""
     limit = DEFAULT_MAX_DEVICE_BYTES if max_device_bytes is None else max_device_bytes
-    nbytes = dataset_nbytes(images, masks)
+    # The budget is PER CHIP: a mesh-sharded dataset costs each device only
+    # its shard, so compare the largest per-device footprint, not the total.
+    nbytes = (_per_device_nbytes(images, sharding)
+              + _per_device_nbytes(masks, sharding))
+    total = dataset_nbytes(images, masks)
     if placement == "device" and nbytes > limit:
         raise ValueError(
-            f"dataset is {nbytes / 2**30:.2f} GiB but the device-resident "
-            f"budget is {limit / 2**30:.2f} GiB: a whole-dataset device_put "
-            f"would OOM the chip's HBM once activations are added. Use "
-            f"placement='host' (chunked uploads), raise max_device_bytes / "
-            f"COASTLINE_MAX_DEVICE_DATASET_BYTES, or shard over more "
-            f"devices (parallel.mesh.shard_dataset)."
+            f"dataset is {total / 2**30:.2f} GiB "
+            f"({nbytes / 2**30:.2f} GiB per device) but the device-resident "
+            f"budget is {limit / 2**30:.2f} GiB/chip: a whole-dataset "
+            f"device_put would OOM the chip's HBM once activations are "
+            f"added. Use placement='host' (chunked uploads), raise "
+            f"max_device_bytes / COASTLINE_MAX_DEVICE_DATASET_BYTES, or "
+            f"shard over more devices (parallel.mesh.shard_dataset)."
         )
     if placement == "host" or (placement == "auto" and nbytes > limit):
         if placement == "auto":
             print(
-                f"dataset ({nbytes / 2**30:.2f} GiB) exceeds the "
-                f"device-resident budget ({limit / 2**30:.2f} GiB); using "
-                f"host-resident cache with {superbatch}-batch chunked uploads"
+                f"dataset ({total / 2**30:.2f} GiB, "
+                f"{nbytes / 2**30:.2f} GiB/device) exceeds the "
+                f"device-resident budget ({limit / 2**30:.2f} GiB/chip); "
+                f"using host-resident cache with {superbatch}-batch chunked "
+                f"uploads"
             )
         return HostDataset(np.ascontiguousarray(images),
-                           np.ascontiguousarray(masks), paths, superbatch)
+                           np.ascontiguousarray(masks), paths, superbatch,
+                           sharding)
     return DeviceDataset.from_numpy(images, masks, paths, sharding)
 
 

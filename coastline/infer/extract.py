@@ -125,6 +125,15 @@ class CoastlineExtractor:
             self.variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
             print("WARNING: no checkpoint provided — using random weights")
 
+        # One-time device placement. The torch-import and Orbax paths hand
+        # back host (numpy) trees; leaving them host-resident re-uploads
+        # ~120 MB of f32 params through the ~30 ms-RTT tunnel on EVERY
+        # jitted dispatch — the exact bug class the QuantizedModel path
+        # fixed (quant.py: 5.8x slower scene serving before its
+        # device_put). device_put is a no-op for already-committed
+        # (incl. mesh-sharded) arrays.
+        self.variables = jax.device_put(self.variables)
+
         def _logits(predict_params, x):
             params, batch_stats = predict_params
             return self.model.apply(
@@ -328,8 +337,12 @@ class CoastlineExtractor:
         from coastline.infer.scene import build_scene_fn
 
         h, w, c = scene_u8.shape
-        mesh_key = None if mesh is None else tuple(
-            (a, int(mesh.shape[a])) for a in mesh.axis_names)
+        # Key by device identity too: two meshes of identical shape over
+        # DIFFERENT devices must not share a compiled program — its baked
+        # NamedSharding would route outputs to the first mesh's chips.
+        mesh_key = None if mesh is None else (
+            tuple((a, int(mesh.shape[a])) for a in mesh.axis_names),
+            tuple(d.id for d in mesh.devices.flat))
         key = (h, w, c, self.image_size, overlap, batch, with_band, mesh_key)
         fn = self._scene_cache.get(key)
         if fn is None:

@@ -1112,6 +1112,22 @@ ARCHS = {
 }
 
 
+def quant_arch_for(name):
+    """Resolve ANY model-registry name/alias to this module's ARCHS key.
+
+    Derived from the registry's own alias table (ARCHS keys are registry
+    aliases), so adding/renaming an architecture never needs a parallel
+    name map maintained elsewhere (e.g. the export CLI). Returns None when
+    the model has no int8 fold."""
+    from coastline.models.registry import canonical_name
+
+    canon = canonical_name(name)
+    for key in ARCHS:
+        if key == name or canonical_name(key) == canon:
+            return key
+    return None
+
+
 def float_forward(folded, x, return_logits: bool = False,
                   dtype=jnp.bfloat16, arch: str = "robust_unet"):
     """Float forward on BN-folded params — must match `model.apply`

@@ -26,8 +26,13 @@ class CheckpointManager:
         )
         self.best_iou = -1.0
 
-    def save(self, step: int, state: Any, metrics: Optional[dict] = None):
-        self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None,
+             force: bool = False):
+        """force=True overwrites an existing step — a resumed run that
+        crashed between an Orbax save and its sidecar meta write will
+        legitimately re-save the same epoch key."""
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics=metrics, force=force)
 
     def maybe_save_best(self, step: int, state: Any, iou: float) -> bool:
         """Keep a 'best' params+stats checkpoint when IoU improves
@@ -62,6 +67,11 @@ class CheckpointManager:
 
     def latest_step(self):
         return self._mgr.latest_step()
+
+    def wait(self):
+        """Block until async saves are durable (before writing sidecar
+        metadata that points at them)."""
+        self._mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()

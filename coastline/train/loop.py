@@ -284,17 +284,47 @@ def _chunk_stream(ds: HostDataset, idx: np.ndarray, valid: np.ndarray):
     non-blocking, each next chunk's gather+upload overlaps the device's
     work on the current one.
     """
+    def _put(a):
+        if getattr(ds, "sharding", None) is not None:
+            try:  # sharded upload: each chip receives only its shard
+                return jax.device_put(a, ds.sharding)
+            except Exception:  # e.g. ragged final chunk not divisible
+                pass
+        return jax.device_put(a)
+
     sb = ds.superbatch
     n_batches = idx.shape[0]
     for j0 in range(0, n_batches, sb):
         j1 = min(j0 + sb, n_batches)
         gidx = np.asarray(idx[j0:j1])
         flat = gidx.reshape(-1)
-        imgs = jax.device_put(ds.images[flat])
-        msks = jax.device_put(ds.masks[flat])
+        imgs = _put(ds.images[flat])
+        msks = _put(ds.masks[flat])
         lidx = np.arange(flat.size, dtype=np.int32).reshape(gidx.shape)
         yield (imgs, msks, jnp.asarray(lidx),
                jnp.asarray(valid[j0:j1]), j1 - j0)
+
+
+def run_train_epoch_any(train_epoch_fn, state, ds, idx, valid):
+    """One train epoch on either dataset residency.
+
+    HostDataset runs the same compiled scan per uploaded chunk (state
+    threads through, so parameter updates are bit-identical to the
+    resident path); the reported loss is the batch-count-weighted mean
+    over chunks == the resident path's mean over all batches. The ONE
+    implementation of this combine — Evaluator and WaterSegmentationTrainer
+    both call it."""
+    if isinstance(ds, HostDataset):
+        losses, counts = [], []
+        for imgs, msks, lidx, v, cnt in _chunk_stream(ds, idx, valid):
+            state, loss = train_epoch_fn(state, imgs, msks, lidx, v)
+            losses.append(loss)
+            counts.append(cnt)
+        total = sum(counts)
+        return state, sum(l * c for l, c in zip(losses, counts)) / total
+    return train_epoch_fn(
+        state, ds.images, ds.masks, jnp.asarray(idx), jnp.asarray(valid)
+    )
 
 
 class Evaluator:
@@ -317,22 +347,7 @@ class Evaluator:
         self._log = JsonlLogger(config.log_path or None)
 
     def _run_train_epoch(self, state, ds, idx, valid):
-        """One train epoch on either dataset residency. HostDataset runs
-        the same compiled scan per uploaded chunk (state threads through,
-        so parameter updates are bit-identical to the resident path); the
-        reported loss is the batch-count-weighted mean over chunks ==
-        the resident path's mean over all batches."""
-        if isinstance(ds, HostDataset):
-            losses, counts = [], []
-            for imgs, msks, lidx, v, cnt in _chunk_stream(ds, idx, valid):
-                state, loss = self._train_epoch(state, imgs, msks, lidx, v)
-                losses.append(loss)
-                counts.append(cnt)
-            total = sum(counts)
-            return state, sum(l * c for l, c in zip(losses, counts)) / total
-        return self._train_epoch(
-            state, ds.images, ds.masks, jnp.asarray(idx), jnp.asarray(valid)
-        )
+        return run_train_epoch_any(self._train_epoch, state, ds, idx, valid)
 
     def _run_eval_epoch(self, params, batch_stats, ds, idx, valid):
         """Validation pass on either residency. Chunked means/stds combine

@@ -42,6 +42,7 @@ from coastline.train.loop import (
     create_train_state,
     make_train_epoch,
     normalize_images,
+    run_train_epoch_any,
 )
 from coastline.train.lr import plateau_update
 
@@ -61,6 +62,12 @@ class TrainerConfig:
     min_image_px: int = 50
     seed: int = 0
     dtype: str = "float32"
+    # Crash-safe resume cadence: every N epochs the FULL train state
+    # (params, BN stats, Adam moments, plateau, rng) plus host-side loop
+    # state (epoch, best IoU, stale count, history, shuffle-rng state) is
+    # checkpointed, so `train(resume=True)` continues bit-exactly from the
+    # last save. 0 disables periodic saves (end-of-run save still happens).
+    checkpoint_every: int = 5
 
 
 def quality_gate_pairs(image_paths, label_paths, min_px: int = 50, verbose=True):
@@ -165,8 +172,56 @@ class WaterSegmentationTrainer:
 
         return validate
 
+    # ----------------------------------------------------------- resume IO
+    @staticmethod
+    def _resume_meta_path(save_dir: str) -> str:
+        return os.path.join(save_dir, "resume_meta.pkl")
+
+    def _save_resume_point(self, ckpt, epoch, state, val_iou, best_iou,
+                           stale, host_rng, elapsed_s):
+        """Durable mid-run snapshot: Orbax full state + host loop state.
+
+        The Orbax save is awaited before the sidecar meta is written, so
+        the meta never points at a checkpoint that did not finish — a
+        crash between the two leaves the PREVIOUS resume point intact."""
+        step = epoch + 1
+        ckpt.save(step, state, metrics={"val_iou": float(val_iou)},
+                  force=True)
+        ckpt.wait()
+        meta = {
+            "epoch": epoch,
+            "ckpt_step": step,
+            "best_iou": float(best_iou),
+            "stale": int(stale),
+            "history": {k: (list(v) if isinstance(v, list) else v)
+                        for k, v in self.history.items()},
+            "host_rng_state": host_rng.bit_generator.state,
+            "elapsed_s": float(elapsed_s),
+        }
+        tmp = self._resume_meta_path(self.config.save_dir) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(meta, f)
+        os.replace(tmp, self._resume_meta_path(self.config.save_dir))
+
+    def _load_resume_point(self, ckpt, state_template):
+        """Restore (state, meta) from the last resume point, or None."""
+        path = self._resume_meta_path(self.config.save_dir)
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as f:
+                meta = pickle.load(f)
+            state = ckpt.restore(state_template, step=meta["ckpt_step"])
+        except Exception as e:
+            print(f"resume point unreadable ({e}); starting fresh")
+            return None
+        if state is None:
+            return None
+        return state, meta
+
     # --------------------------------------------------------------- train
-    def train(self, train_ds: DeviceDataset, val_ds: DeviceDataset, verbose=True):
+    def train(self, train_ds: DeviceDataset, val_ds: DeviceDataset,
+              verbose=True, resume: bool = False):
         cfg = self.config
         loop_cfg = TrainConfig(
             epochs=cfg.epochs,
@@ -202,18 +257,8 @@ class WaterSegmentationTrainer:
 
         def run_train_epoch(state, idx, valid):
             """Device- or host-resident train epoch (chunked uploads for
-            HostDataset — identical numerics, see loop._chunk_stream)."""
-            if isinstance(train_ds, HostDataset):
-                losses, counts = [], []
-                for imgs, msks, lidx, v, cnt in _chunk_stream(train_ds, idx, valid):
-                    state, l = train_epoch(state, imgs, msks, lidx, v)
-                    losses.append(l)
-                    counts.append(cnt)
-                return state, sum(
-                    l * c for l, c in zip(losses, counts)
-                ) / sum(counts)
-            return train_epoch(state, train_ds.images, train_ds.masks,
-                               jnp.asarray(idx), jnp.asarray(valid))
+            HostDataset — one combine implementation, loop.run_train_epoch_any)."""
+            return run_train_epoch_any(train_epoch, state, train_ds, idx, valid)
 
         def run_validate(state):
             if isinstance(val_ds, HostDataset):
@@ -231,7 +276,25 @@ class WaterSegmentationTrainer:
             return l, a, i
 
         best_iou, stale, t_start = -1.0, 0, time.time()
-        for epoch in range(cfg.epochs):
+        start_epoch, elapsed_prior = 0, 0.0
+        if resume:
+            restored = self._load_resume_point(ckpt, state)
+            if restored is None:
+                if verbose:
+                    print("no resume point found — starting fresh")
+            else:
+                state, meta = restored
+                start_epoch = meta["epoch"] + 1
+                best_iou, stale = meta["best_iou"], meta["stale"]
+                elapsed_prior = meta.get("elapsed_s", 0.0)
+                self.history = meta["history"]
+                host_rng.bit_generator.state = meta["host_rng_state"]
+                ckpt.best_iou = best_iou  # keep the best export monotone
+                if verbose:
+                    print(f"resumed at epoch {start_epoch + 1}/{cfg.epochs} "
+                          f"(best IoU {best_iou:.4f})")
+        last_epoch, last_saved = None, start_epoch  # nothing saved this run
+        for epoch in range(start_epoch, cfg.epochs):
             idx, valid = batch_indices(
                 len(train_ds), cfg.batch_size, shuffle=True, rng=host_rng
             )
@@ -268,12 +331,18 @@ class WaterSegmentationTrainer:
                 )
             if cfg.viz_every and (epoch + 1) % cfg.viz_every == 0:
                 self._save_progress_figures(epoch, val_ds, state)
+            last_epoch = epoch
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                self._save_resume_point(
+                    ckpt, epoch, state, val_iou, best_iou, stale, host_rng,
+                    elapsed_prior + (time.time() - t_start))
+                last_saved = epoch + 1
             if stale >= cfg.early_stop_patience:
                 if verbose:
                     print(f"early stop at epoch {epoch + 1} (patience {cfg.early_stop_patience})")
                 break
 
-        self.history["training_time"] = time.time() - t_start
+        self.history["training_time"] = elapsed_prior + (time.time() - t_start)
         os.makedirs(cfg.save_dir, exist_ok=True)
         with open(os.path.join(cfg.save_dir, "training_history.pkl"), "wb") as f:
             pickle.dump(self.history, f)
@@ -284,7 +353,14 @@ class WaterSegmentationTrainer:
         except Exception as e:
             print("final report figure failed:", e)
         self.state = state
-        ckpt.save(int(state.step), state, metrics={"val_iou": best_iou})
+        # Final resume point (also the end-of-run full-state artifact the
+        # round-2 code saved under state.step): epoch-keyed so resuming a
+        # finished run — or extending it with a larger cfg.epochs — picks
+        # up exactly where this one stopped.
+        if last_epoch is not None and last_epoch + 1 != last_saved:
+            self._save_resume_point(
+                ckpt, last_epoch, state, val_iou, best_iou, stale, host_rng,
+                self.history["training_time"])
         ckpt.close()
         return self.history
 

@@ -99,6 +99,23 @@ def test_extractor_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "scene_analysis.png"))
 
 
+def test_extractor_variables_device_resident():
+    """Host (numpy) weight trees — the torch-import and Orbax restore
+    paths hand those back — must be device_put ONCE at construction:
+    leaving them host-side re-uploads the full param tree through the
+    ~30ms-RTT tunnel on every jitted dispatch (the QuantizedModel 5.8x
+    scene-serving bug, round-3 post-mortem in CLAUDE.md)."""
+    import jax
+
+    from coastline.infer.extract import CoastlineExtractor
+
+    ex = CoastlineExtractor(image_size=64)
+    host_vars = jax.tree.map(np.asarray, ex.variables)  # numpy tree
+    ex2 = CoastlineExtractor(variables=host_vars, image_size=64)
+    assert all(isinstance(l, jax.Array)
+               for l in jax.tree.leaves(ex2.variables))
+
+
 def test_scene_prediction_shape(tmp_path):
     from coastline.infer.extract import CoastlineExtractor
 

@@ -397,3 +397,19 @@ def test_int8_space_mesh_float_conv_workaround(small_model):
     single, out = np.asarray(single), np.asarray(out)
     assert float(np.abs(single - out).mean()) < 0.03
     assert float(((single > .5) == (out > .5)).mean()) > 0.95
+
+
+def test_quant_arch_for_resolves_every_registry_name():
+    """The export CLI resolves quant arch keys through quant_arch_for —
+    derived from the model registry's alias table, so there is no parallel
+    display-name map to drift when an architecture is added or renamed."""
+    from coastline.infer.quant import ARCHS, quant_arch_for
+    from coastline.models.registry import available_models
+
+    for name in available_models():
+        key = quant_arch_for(name)
+        assert key in ARCHS, f"{name!r} resolved to {key!r}"
+    assert quant_arch_for("Robust UNet") == "robust_unet"
+    assert quant_arch_for("deeplab") == "deeplabv3p"
+    assert quant_arch_for("segformer_lite") == "segformer_lite"
+    assert quant_arch_for("not_a_model") is None

@@ -176,6 +176,72 @@ def test_make_dataset_placement_and_oom_message(capsys):
     assert isinstance(make_dataset(imgs, msks, placement="host"), HostDataset)
 
 
+def test_make_dataset_budget_is_per_device():
+    """A mesh-sharded dataset is budgeted per chip (each holds only its
+    shard), not by global size — 8 chips hold 1/8th each — and when even
+    the shard exceeds the budget, the HostDataset fallback CARRIES the
+    sharding so chunked uploads land sharded too."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coastline.data.pipeline import DeviceDataset, HostDataset, make_dataset
+    from coastline.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (8, 16, 16, 3), dtype=np.uint8)
+    msks = rng.integers(0, 2, (8, 16, 16), dtype=np.uint8)
+    total = imgs.nbytes + msks.nbytes
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+
+    limit = total // 2  # over budget unsharded; an 8-way shard fits easily
+    assert isinstance(make_dataset(imgs, msks, max_device_bytes=limit),
+                      HostDataset)
+    ds = make_dataset(imgs, msks, sharding=sh, max_device_bytes=limit)
+    assert isinstance(ds, DeviceDataset)
+    # placement='device' must honor the per-shard footprint as well
+    make_dataset(imgs, msks, sharding=sh, placement="device",
+                 max_device_bytes=limit)
+
+    host = make_dataset(imgs, msks, sharding=sh, max_device_bytes=total // 16)
+    assert isinstance(host, HostDataset) and host.sharding is sh
+
+
+def test_chunk_stream_sharded_upload():
+    """HostDataset chunks upload WITH the dataset's mesh sharding (each
+    chip receives only its slice); non-divisible final chunks fall back to
+    single-device placement instead of erroring."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from coastline.data.pipeline import HostDataset
+    from coastline.parallel.mesh import make_mesh
+    from coastline.train.loop import _chunk_stream, batch_indices
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (16, 8, 8, 3), dtype=np.uint8)
+    msks = rng.integers(0, 2, (16, 8, 8), dtype=np.uint8)
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+    host = HostDataset(imgs, msks, None, superbatch=4, sharding=sh)
+
+    idx, valid = batch_indices(16, 2, shuffle=False,
+                               rng=np.random.default_rng(0))
+    chunks = list(_chunk_stream(host, idx, valid))
+    assert len(chunks) == 2
+    up_imgs, up_msks = chunks[0][0], chunks[0][1]
+    assert up_imgs.shape[0] == 8 and up_imgs.sharding == sh
+    assert up_msks.sharding == sh
+    np.testing.assert_array_equal(np.asarray(up_imgs), imgs[:8])
+
+    # ragged tail: 3 batches of 2 on a data=8 mesh -> 6 not divisible by 8;
+    # the upload must degrade to default placement, contents unchanged
+    idx3, valid3 = batch_indices(6, 2, shuffle=False,
+                                 rng=np.random.default_rng(0))
+    (ri, rm, _, _, cnt), = list(_chunk_stream(host, idx3, valid3))
+    assert cnt == 3 and ri.shape[0] == 6
+    np.testing.assert_array_equal(np.asarray(ri), imgs[:6])
+
+
 def test_rasterizer_known_areas():
     from coastline.data.rasterize import rasterize_polygons
 

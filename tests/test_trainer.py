@@ -122,3 +122,58 @@ def test_validate_masks_padded_samples():
     assert abs(float(loss) - ref_loss / nb) < 1e-5
     assert abs(float(acc) - ref_acc / nb) < 1e-5
     assert abs(float(iou) - ref_iou / nb) < 1e-5
+
+
+@pytest.mark.slow
+def test_trainer_resume_bit_exact(tmp_path):
+    """Crash-safe resume: train 2 epochs + resume for 2 more == one
+    straight 4-epoch run, bit-exactly — params, histories, best-IoU
+    bookkeeping and the epoch shuffles all continue from the resume point
+    (full state via Orbax; host loop state incl. the numpy shuffle-rng in
+    the sidecar meta). Capability the reference lacks (SURVEY §5.4)."""
+    import jax
+
+    from coastline.data.synthetic import synthetic_device_dataset
+    from coastline.train.trainer import TrainerConfig, WaterSegmentationTrainer
+
+    train_ds = synthetic_device_dataset(4, size=32, seed=0)
+    val_ds = synthetic_device_dataset(2, size=32, seed=1)
+
+    def make_cfg(save_dir, epochs):
+        return TrainerConfig(
+            epochs=epochs, batch_size=2, lr=1e-3, image_size=32,
+            save_dir=str(save_dir), viz_every=0, augment=True,
+            checkpoint_every=2,
+        )
+
+    # straight 4-epoch run
+    t_a = WaterSegmentationTrainer(make_cfg(tmp_path / "a", 4))
+    hist_a = t_a.train(train_ds, val_ds, verbose=False)
+
+    # interrupted run: 2 epochs (resume point written at epoch 2), then a
+    # NEW trainer resumes in the same dir with the full 4-epoch budget
+    t_b1 = WaterSegmentationTrainer(make_cfg(tmp_path / "b", 2))
+    t_b1.train(train_ds, val_ds, verbose=False)
+    t_b2 = WaterSegmentationTrainer(make_cfg(tmp_path / "b", 4))
+    hist_b = t_b2.train(train_ds, val_ds, verbose=False, resume=True)
+
+    assert len(hist_b["train_losses"]) == 4
+    np.testing.assert_array_equal(hist_a["train_losses"], hist_b["train_losses"])
+    np.testing.assert_array_equal(hist_a["val_losses"], hist_b["val_losses"])
+    np.testing.assert_array_equal(hist_a["iou_scores"], hist_b["iou_scores"])
+    assert hist_a["best_model_epoch"] == hist_b["best_model_epoch"]
+
+    pa = jax.tree.leaves(t_a.state.params)
+    pb = jax.tree.leaves(t_b2.state.params)
+    for la, lb in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # resuming a FINISHED run is a no-op returning the saved history
+    t_b3 = WaterSegmentationTrainer(make_cfg(tmp_path / "b", 4))
+    hist_c = t_b3.train(train_ds, val_ds, verbose=False, resume=True)
+    np.testing.assert_array_equal(hist_b["train_losses"], hist_c["train_losses"])
+
+    # resume with no checkpoint at all falls back to a fresh start
+    t_fresh = WaterSegmentationTrainer(make_cfg(tmp_path / "fresh", 2))
+    hist_f = t_fresh.train(train_ds, val_ds, verbose=False, resume=True)
+    assert len(hist_f["train_losses"]) == 2
