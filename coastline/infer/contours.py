@@ -5,6 +5,11 @@ stays on host (SURVEY.md §7); the heavy raster work (predict, dilate, band)
 runs on device. Parity with `extract_coastline_contours`
 (`/root/reference/predict_coastline.py:583-618`): external contours only,
 drop contours of <=10 points, simplify with epsilon = 0.002 * arc length.
+
+Backend order: cv2 (exact reference semantics) > native C++ tracer
+(coastline/native — bit-identical to the Python fallback, ~100x faster)
+> pure Python. cv2-less deployments therefore keep native-speed contour
+extraction; `backend=` forces one for tests.
 """
 
 from typing import List
@@ -77,11 +82,18 @@ def _rdp(points: np.ndarray, eps: float) -> np.ndarray:
 
 
 def extract_contours(band_mask: np.ndarray, min_points: int = 10,
-                     epsilon_frac: float = 0.002) -> List[List[List[int]]]:
-    """Coastline band -> simplified polylines as [[x, y], ...] lists."""
+                     epsilon_frac: float = 0.002,
+                     backend: str = "auto") -> List[List[List[int]]]:
+    """Coastline band -> simplified polylines as [[x, y], ...] lists.
+
+    backend: 'auto' (cv2 > native > python), or force 'cv2' / 'native' /
+    'python'. The native and python backends produce bit-identical output
+    (tests/test_native.py)."""
     band = np.asarray(band_mask).astype(np.uint8)
     coastlines = []
-    if _HAS_CV2:
+    if backend not in ("auto", "cv2", "native", "python"):
+        raise ValueError(f"unknown contour backend {backend!r}")
+    if backend == "cv2" or (backend == "auto" and _HAS_CV2):
         contours, _ = cv2.findContours(band, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
         for c in contours:
             if len(c) > min_points:
@@ -89,10 +101,22 @@ def extract_contours(band_mask: np.ndarray, min_points: int = 10,
                 simplified = cv2.approxPolyDP(c, eps, True)
                 coastlines.append(simplified.reshape(-1, 2).tolist())
         return coastlines
-    for c in _moore_trace(band):
+
+    traced, simplify = None, _rdp
+    if backend in ("auto", "native"):
+        from coastline import native
+
+        traced = native.moore_trace(band)
+        if traced is not None:
+            simplify = native.rdp
+        elif backend == "native":
+            raise RuntimeError("native contour library unavailable "
+                               "(g++ missing or build failed)")
+    if traced is None:  # backend == 'python', or auto degraded
+        traced = _moore_trace(band)
+    for c in traced:
         if len(c) > min_points:
             closed = np.vstack([c, c[:1]])
             arc = np.hypot(*np.diff(closed, axis=0).astype(float).T).sum()
-            simplified = _rdp(c, epsilon_frac * arc)
-            coastlines.append(simplified.tolist())
+            coastlines.append(simplify(c, epsilon_frac * arc).tolist())
     return coastlines
