@@ -89,12 +89,12 @@ def main(argv=None):
     if args.quantized_out:
         import numpy as np
 
-        from coastline.data.pipeline import (IMAGENET_MEAN, IMAGENET_STD,
-                                             load_image_rgb)
+        from coastline.data.pipeline import load_image_rgb
         from coastline.infer.deploy import save_quantized
-        from coastline.infer.quant import QuantizedModel
+        from coastline.infer.quant import QuantizedModel, default_calibration
 
         s = args.image_size
+        imgs = None  # None -> default_calibration's synthetic scenes
         if args.calib_images:
             import glob as g
             import os
@@ -109,15 +109,8 @@ def main(argv=None):
             imgs = np.stack([
                 np.asarray(load_image_rgb(pp, (s, s)).resize(
                     (s, s), Image.BILINEAR), np.uint8) for pp in paths])
-        else:
-            from coastline.data.synthetic import make_scene
-
-            rng = np.random.default_rng(0)
-            imgs = np.stack([make_scene(rng, s)[0] for _ in range(4)])
-        calib = ((imgs.astype(np.float32) / 255.0
-                  - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD))
-        qm = QuantizedModel.from_variables(payload, jnp.asarray(calib),
-                                           arch=qarch)
+        qm = QuantizedModel.from_variables(
+            payload, default_calibration(s, imgs), arch=qarch)
         save_quantized(args.quantized_out, qm)
         print(f"quantized {qarch} serving artifact -> {args.quantized_out}")
 

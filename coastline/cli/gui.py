@@ -63,19 +63,23 @@ class ResultStore:
 
     def prev_index(self, current):
         """Previous browsable index (clamped), reference prev_image
-        (`predict_coastline.py:1279-1288`)."""
+        (`predict_coastline.py:1279-1288`). With no selection, Prev lands
+        on the LAST result (and Next on the first) — stepping from an
+        imaginary cursor would make the end entries unreachable."""
         if not self._entries:
             return None
-        return max(0, (len(self._entries) - 1 if current is None
-                       else current) - 1)
+        if current is None:
+            return len(self._entries) - 1
+        return max(0, current - 1)
 
     def next_index(self, current):
         """Next browsable index (clamped), reference next_image
         (`predict_coastline.py:1290-1299`)."""
         if not self._entries:
             return None
-        return min(len(self._entries) - 1,
-                   (0 if current is None else current) + 1)
+        if current is None:
+            return 0
+        return min(len(self._entries) - 1, current + 1)
 
 
 class ImageQueue:

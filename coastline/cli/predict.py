@@ -62,6 +62,12 @@ def main(argv=None):
                         "clean data, can recover degraded/noisy inputs — "
                         "measured in artifacts/tta_eval.json)")
     args = p.parse_args(argv)
+    if args.save_quantized and not args.int8:
+        p.error("--save-quantized requires --int8 (it writes the artifact "
+                "produced by that quantization pass)")
+    if args.save_quantized and args.quantized:
+        p.error("--save-quantized cannot be combined with --quantized "
+                "(already serving from a saved artifact)")
 
     from coastline.utils.platform import apply_platform_override
 
@@ -114,8 +120,7 @@ def main(argv=None):
         return 0 if ok else 1
 
     if args.scene:
-        lines = _extract_scene(ex, args.input, args.output, args.dilation)
-        print(f"extracted {len(lines)} coastlines from scene {args.input}")
+        _extract_scene(ex, args.input, args.output, args.dilation)
         return 0
 
     result = ex.extract_coastline_from_image(args.input, args.output, args.dilation)

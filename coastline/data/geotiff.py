@@ -70,7 +70,7 @@ def read_bands(path: str, max_bands: int = 6) -> Tuple[np.ndarray, dict]:
                 "size": [ds.width, ds.height],
                 "bands_count": ds.count,
                 "geo_transform": [c, a, b, f, d, e],
-                "projection": str(ds.crs),
+                "projection": str(ds.crs) if ds.crs else None,  # not "None"
                 "backend": "rasterio",
             }
         return np.asarray(bands), meta

@@ -93,6 +93,8 @@ def extract_contours(band_mask: np.ndarray, min_points: int = 10,
     coastlines = []
     if backend not in ("auto", "cv2", "native", "python"):
         raise ValueError(f"unknown contour backend {backend!r}")
+    if backend == "cv2" and not _HAS_CV2:
+        raise RuntimeError("cv2 backend requested but cv2 is not installed")
     if backend == "cv2" or (backend == "auto" and _HAS_CV2):
         contours, _ = cv2.findContours(band, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
         for c in contours:

@@ -166,17 +166,9 @@ class CoastlineExtractor:
         Returns self. Downstream artifacts are identical in structure; mask
         accuracy is gated in tests/test_quant.py + artifacts/quant_accuracy.json.
         """
-        from coastline.infer.quant import QuantizedModel
+        from coastline.infer.quant import QuantizedModel, default_calibration
 
-        s = self.image_size
-        if calib_images_u8 is None:
-            from coastline.data.synthetic import make_scene
-
-            rng = np.random.default_rng(0)
-            calib_images_u8 = np.stack(
-                [make_scene(rng, s)[0] for _ in range(4)])
-        mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
-        calib = (jnp.asarray(calib_images_u8, jnp.float32) / 255.0 - mean) / std
+        calib = default_calibration(self.image_size, calib_images_u8)
         qm = QuantizedModel.from_variables(
             self.variables, calib, batch_size=batch_size, arch="unet")
         if save_to is not None:

@@ -56,6 +56,10 @@ def coastlines_to_geojson(
         return None  # degenerate row (no pixel size on X or Y): not a
         # georeferenced raster — a zero Y row would silently collapse
         # every vertex to Y=GT3
+    if tuple(geo_transform) == (0, 1, 0, 0, 0, 1):
+        return None  # the identity transform GDAL GetGeoTransform() and
+        # rasterio both report for UNgeoreferenced rasters — mapping
+        # through it would write pixel coords labelled as world coords
     features = []
     for i, line in enumerate(coastlines):
         if len(line) < 2:

@@ -1112,6 +1112,27 @@ ARCHS = {
 }
 
 
+def default_calibration(image_size: int, images_u8=None, n_scenes: int = 4):
+    """The ONE calibration-batch recipe every entry point shares.
+
+    uint8 images (given, or `n_scenes` synthetic coastal scenes from a
+    fixed seed) -> /255 -> ImageNet-normalized f32. Used by
+    `CoastlineExtractor.quantize` and the export CLI so artifacts are
+    calibrated identically no matter which command wrote them."""
+    import numpy as np
+
+    from coastline.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    if images_u8 is None:
+        from coastline.data.synthetic import make_scene
+
+        rng = np.random.default_rng(0)
+        images_u8 = np.stack(
+            [make_scene(rng, image_size)[0] for _ in range(n_scenes)])
+    mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
+    return (jnp.asarray(images_u8, jnp.float32) / 255.0 - mean) / std
+
+
 def quant_arch_for(name):
     """Resolve ANY model-registry name/alias to this module's ARCHS key.
 

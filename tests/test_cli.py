@@ -110,6 +110,23 @@ def test_predict_cli_int8(tmp_path):
     assert os.path.exists(os.path.join(out, "scene_water_mask.png"))
 
 
+def test_predict_cli_save_quantized_flag_validation(tmp_path):
+    """--save-quantized without --int8 (or combined with --quantized) is a
+    usage error — previously the request was silently dropped and no .npz
+    was ever written."""
+    import pytest
+
+    from coastline.cli.predict import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["x.png", "--save-quantized", str(tmp_path / "q.npz")])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["x.png", "--quantized", "a.npz", "--int8",
+              "--save-quantized", str(tmp_path / "q.npz")])
+    assert e.value.code == 2
+
+
 def test_predict_cli_quantized_artifact(tmp_path):
     """--int8 --save-quantized writes a serving .npz; --quantized serves
     from it without any checkpoint (masks identical)."""

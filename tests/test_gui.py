@@ -115,8 +115,8 @@ def test_result_store_prev_next_navigation():
     for i, p in enumerate(["/r/0.png", "/r/1.png", "/r/2.png"]):
         store.add(p, _mk_result(str(i)))
 
-    assert store.next_index(None) == 1  # from unselected: step from start
-    assert store.prev_index(None) == 1  # from unselected: step from end
+    assert store.next_index(None) == 0  # from unselected: land on first
+    assert store.prev_index(None) == 2  # from unselected: land on last
     assert store.next_index(0) == 1 and store.next_index(1) == 2
     assert store.next_index(2) == 2  # clamped
     assert store.prev_index(2) == 1 and store.prev_index(1) == 0

@@ -211,6 +211,24 @@ def test_geojson_world_coordinates_exact():
     assert coastlines_to_geojson(lines, [5, 10, 0, 7, 0, 0]) is None
     assert coastlines_to_geojson(lines, [5, 0, 0, 7, 0, -10]) is None
     assert coastlines_to_geojson(lines, [1, 2, 3]) is None  # malformed
+    # the identity transform GDAL/rasterio report for UNgeoreferenced
+    # rasters — pixel coords must never be written as world coords
+    assert coastlines_to_geojson(lines, [0, 1, 0, 0, 0, 1]) is None
+
+
+def test_contours_forced_cv2_without_cv2_errors():
+    """backend='cv2' on a cv2-less host must raise a clean error, not
+    NameError (the native/python backends are the supported paths there)."""
+    import coastline.infer.contours as C
+
+    band = np.zeros((8, 8), np.uint8)
+    had = C._HAS_CV2
+    C._HAS_CV2 = False
+    try:
+        with pytest.raises(RuntimeError, match="cv2"):
+            extract_contours(band, backend="cv2")
+    finally:
+        C._HAS_CV2 = had
 
 
 def test_save_extraction_result_writes_geojson(tmp_path):
