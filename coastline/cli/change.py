@@ -86,7 +86,11 @@ def main(argv=None):
 
     series, units_seen = [], set()
     for i, path in enumerate(args.inputs):
-        lines, units = load_coastlines_artifact(path)
+        try:
+            lines, units = load_coastlines_artifact(path)
+        except (OSError, ValueError) as e:
+            print(f"cannot read coastlines artifact: {e}")
+            return 2
         units_seen.add(units)
         if args.dates:
             date = decimal_year(args.dates[i])

@@ -53,6 +53,10 @@ def load_coastlines_artifact(path: str) -> Tuple[List, str]:
     """
     with open(path, encoding="utf-8") as f:
         data = json.load(f)
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"{path}: not a coastlines artifact (expected a JSON object, "
+            f"got {type(data).__name__})")
     if data.get("type") == "FeatureCollection":
         lines = [
             feat["geometry"]["coordinates"]

@@ -144,10 +144,12 @@ def test_load_coastlines_artifact_both_flavors(tmp_path):
     got, units = load_coastlines_artifact(str(tmp_path / "a_2020_coastlines.json"))
     assert got == lines and units == "px"
 
-    gt = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]  # identity-ish: world = pixel + 0.5
+    # world = pixel + 0.5 + origin (NOT the identity transform — geojson.py
+    # rejects that as the ungeoreferenced-raster sentinel)
+    gt = [100.0, 1.0, 0.0, 200.0, 0.0, 1.0]
     _write_artifact(tmp_path / "a_2021_coastlines.geojson", lines, "geojson", gt)
     got, units = load_coastlines_artifact(str(tmp_path / "a_2021_coastlines.geojson"))
-    assert units == "m" and got == [[[1.5, 2.5], [3.5, 4.5], [5.5, 6.5]]]
+    assert units == "m" and got == [[[101.5, 202.5], [103.5, 204.5], [105.5, 206.5]]]
 
     assert year_from_name("/data/2020/scene_coastlines.json") == 2020.0
     assert year_from_name("scene_1999.json") == 1999.0
@@ -185,7 +187,7 @@ def test_change_cli_rejects_bad_inputs(tmp_path):
     lines = [[[1.0, 0.0], [1.0, 50.0]]]
     _write_artifact(tmp_path / "a_2020_coastlines.json", lines)
     _write_artifact(tmp_path / "b_2021_coastlines.geojson", lines, "geojson",
-                    [0.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+                    [100.0, 1.0, 0.0, 200.0, 0.0, 1.0])
     # mixed coordinate flavors
     assert main([str(tmp_path / "a_2020_coastlines.json"),
                  str(tmp_path / "b_2021_coastlines.geojson")]) == 2
@@ -199,6 +201,11 @@ def test_change_cli_rejects_bad_inputs(tmp_path):
     _write_artifact(tmp_path / "noyear_coastlines.json", lines)
     assert main([str(tmp_path / "a_2020_coastlines.json"),
                  str(tmp_path / "noyear_coastlines.json")]) == 2
+    # corrupt artifact (null payload — e.g. a geojson written from a
+    # degenerate geotransform): clean usage error, not AttributeError
+    (tmp_path / "bad_2022_coastlines.json").write_text("null")
+    assert main([str(tmp_path / "a_2020_coastlines.json"),
+                 str(tmp_path / "bad_2022_coastlines.json")]) == 2
 
 
 def test_geo_extraction_to_change_rates_end_to_end(tmp_path, monkeypatch):
