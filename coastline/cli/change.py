@@ -93,7 +93,11 @@ def main(argv=None):
             return 2
         units_seen.add(units)
         if args.dates:
-            date = decimal_year(args.dates[i])
+            try:
+                date = decimal_year(args.dates[i])
+            except ValueError as e:
+                print(f"bad --dates value {args.dates[i]!r}: {e}")
+                return 2
         else:
             date = year_from_name(path)
             if date is None:
@@ -110,7 +114,11 @@ def main(argv=None):
     series.sort(key=lambda e: e["date"])
 
     if args.baseline:
-        baseline = _parse_baseline(args.baseline)
+        try:
+            baseline = _parse_baseline(args.baseline)
+        except ValueError as e:
+            print(f"bad --baseline spec: {e}")
+            return 2
     else:
         earliest = min(series, key=lambda e: e["date"])
         baseline = _longest_line(earliest["coastlines"])

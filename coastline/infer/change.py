@@ -47,7 +47,9 @@ def load_coastlines_artifact(path: str) -> Tuple[List, str]:
 
     Accepts both artifact flavors `save_extraction_result` writes:
     `{base}_coastlines.json` (pixel-space polylines → units "px") and
-    `{base}_coastlines.geojson` (world-space LineStrings → units "m").
+    `{base}_coastlines.geojson` (world-space LineStrings → units from the
+    recorded CRS: "m" for projected rasters, "deg" for geographic ones so
+    degree-per-year rates are never mislabelled as metres).
     All inputs to one analysis must share a flavor — mixing coordinate
     spaces is a caller error the CLI rejects.
     """
@@ -58,13 +60,38 @@ def load_coastlines_artifact(path: str) -> Tuple[List, str]:
             f"{path}: not a coastlines artifact (expected a JSON object, "
             f"got {type(data).__name__})")
     if data.get("type") == "FeatureCollection":
-        lines = [
-            feat["geometry"]["coordinates"]
-            for feat in data.get("features", [])
-            if feat.get("geometry", {}).get("type") == "LineString"
-        ]
-        return lines, "m"
+        feats = data.get("features", [])
+        if not isinstance(feats, list):
+            raise ValueError(f"{path}: GeoJSON 'features' is not a list")
+        lines = []
+        for feat in feats:
+            if not isinstance(feat, dict):
+                continue
+            geom = feat.get("geometry") or {}  # RFC 7946 allows null geometry
+            if isinstance(geom, dict) and geom.get("type") == "LineString":
+                lines.append(geom.get("coordinates", []))
+        props = data.get("properties")
+        crs = props.get("crs_wkt") if isinstance(props, dict) else None
+        return lines, _units_from_crs(crs)
     return data.get("coastlines", []), "px"
+
+
+def _units_from_crs(crs: Optional[str]) -> str:
+    """Axis units implied by a CRS string (WKT or 'EPSG:nnnn').
+
+    Projected CRSs (PROJCS/PROJCRS — e.g. Sentinel-2's UTM zones) use
+    metres; geographic ones (GEOGCS/GEOGCRS/GEODCRS, incl. EPSG:4326) use
+    degrees. Unknown/absent defaults to "m" (the common remote-sensing
+    case and this module's historical behavior)."""
+    if not crs:
+        return "m"
+    w = str(crs).upper()
+    if "PROJCS" in w or "PROJCRS" in w:
+        return "m"
+    if ("GEOGCS" in w or "GEOGCRS" in w or "GEODCRS" in w
+            or w.strip() == "EPSG:4326"):
+        return "deg"
+    return "m"
 
 
 def year_from_name(path: str) -> Optional[float]:

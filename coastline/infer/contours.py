@@ -68,12 +68,17 @@ def _rdp(points: np.ndarray, eps: float) -> np.ndarray:
         a, b = stack.pop()
         if b <= a + 1:
             continue
-        seg = points[b] - points[a]
+        # cross products in int64: int32 wraps past ~46341-px coordinate
+        # spans and would silently pick a wrong split point (the native
+        # C++ backend always used exact int64 — this keeps the two
+        # backends bit-identical at any raster size)
+        seg = (points[b] - points[a]).astype(np.int64)
         norm = np.hypot(*seg.astype(float))
         if norm == 0:
             d = np.hypot(*(points[a + 1 : b] - points[a]).astype(float).T)
         else:
-            d = np.abs(np.cross(seg, points[a + 1 : b] - points[a])) / norm
+            d = np.abs(np.cross(seg, (points[a + 1 : b] - points[a])
+                                .astype(np.int64))) / norm
         i = int(np.argmax(d))
         if d[i] > eps:
             keep[a + 1 + i] = True

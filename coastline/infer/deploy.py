@@ -186,7 +186,13 @@ def load_serving_bundle(dirpath):
     closes over the loaded weights and takes just the normalized batch."""
     import os
 
+    import jax
+
     qm = load_quantized(os.path.join(dirpath, "weights.npz"))
     with open(os.path.join(dirpath, "serving_fn.bin"), "rb") as f:
         fn = load_serving(f.read())
-    return (lambda x: fn(qm.qparams, x)), qm
+    # np.load gives HOST arrays; passing that tree to the jitted export
+    # would re-upload the whole weights tree through the tunnel on EVERY
+    # call (the QuantizedModel bug class, CLAUDE.md round-3 post-mortem).
+    qparams_dev = jax.device_put(qm.qparams)
+    return (lambda x: fn(qparams_dev, x)), qm

@@ -31,11 +31,35 @@ _lib = None
 _load_attempted = False
 
 
-def _cache_dir() -> str:
+def _cache_dir() -> Optional[str]:
+    """Per-user cache directory for built .so files, or None if unusable.
+
+    NEVER a world-shared path: loading a .so from a predictable /tmp
+    location another user could pre-create is local-attacker code
+    execution. Preference order: $COASTLINE_NATIVE_CACHE (explicit
+    opt-in), $XDG_CACHE_HOME/coastline_native, ~/.cache/coastline_native,
+    then a uid-suffixed tempdir. Whatever we end up with must be owned by
+    the current user or we refuse (-> Python fallback)."""
     d = os.environ.get("COASTLINE_NATIVE_CACHE")
     if not d:
-        d = os.path.join(tempfile.gettempdir(), "coastline_native")
-    os.makedirs(d, exist_ok=True)
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache")
+        d = os.path.join(base, "coastline_native")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+    except OSError:
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        d = os.path.join(tempfile.gettempdir(), f"coastline_native_{uid}")
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+        except OSError:
+            return None
+    if hasattr(os, "getuid"):
+        try:
+            if os.stat(d).st_uid != os.getuid():
+                return None  # pre-created by someone else: do not trust
+        except OSError:
+            return None
     return d
 
 
@@ -49,8 +73,11 @@ def build_library(verbose: bool = False) -> Optional[str]:
             src = f.read()
     except OSError:
         return None
+    cache = _cache_dir()
+    if cache is None:
+        return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    out = os.path.join(_cache_dir(), f"contours_{tag}.so")
+    out = os.path.join(cache, f"contours_{tag}.so")
     if os.path.exists(out):
         return out
     tmp = out + f".tmp{os.getpid()}"

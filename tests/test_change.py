@@ -156,6 +156,39 @@ def test_load_coastlines_artifact_both_flavors(tmp_path):
     assert year_from_name("scene_3001.json") is None
 
 
+def test_load_geojson_null_geometry_and_crs_units(tmp_path):
+    """RFC 7946 allows 'geometry': null — skip it, don't AttributeError;
+    and units come from the recorded CRS (degrees for geographic rasters,
+    so deg/yr rates are never mislabelled m/yr)."""
+    import json
+
+    from coastline.infer.change import _units_from_crs, load_coastlines_artifact
+
+    fc = {"type": "FeatureCollection",
+          "properties": {"crs_wkt": "EPSG:4326"},
+          "features": [
+              {"type": "Feature", "geometry": None},
+              "not-a-feature-object",
+              {"type": "Feature",
+               "geometry": {"type": "LineString",
+                            "coordinates": [[0.0, 1.0], [2.0, 3.0]]}}]}
+    p = tmp_path / "a_2020_coastlines.geojson"
+    p.write_text(json.dumps(fc))
+    lines, units = load_coastlines_artifact(str(p))
+    assert lines == [[[0.0, 1.0], [2.0, 3.0]]] and units == "deg"
+
+    assert _units_from_crs(None) == "m"
+    assert _units_from_crs('PROJCS["WGS 84 / UTM zone 30N",...]') == "m"
+    assert _units_from_crs('GEOGCS["WGS 84",DATUM[...]]') == "deg"
+    assert _units_from_crs('GEOGCRS["WGS 84"]') == "deg"
+
+    fc["features"] = {"oops": "not a list"}
+    p.write_text(json.dumps(fc))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="features"):
+        load_coastlines_artifact(str(p))
+
+
 def test_change_cli_end_to_end(tmp_path):
     """Three year-named pixel artifacts -> shoreline_change.json with the
     exact 2 px/yr rate, plus the figure; auto-baseline, auto-dates."""
@@ -206,6 +239,13 @@ def test_change_cli_rejects_bad_inputs(tmp_path):
     (tmp_path / "bad_2022_coastlines.json").write_text("null")
     assert main([str(tmp_path / "a_2020_coastlines.json"),
                  str(tmp_path / "bad_2022_coastlines.json")]) == 2
+    # malformed --dates / --baseline values: usage errors, not tracebacks
+    two = [str(tmp_path / "a_2020_coastlines.json")] * 2
+    assert main(two + ["--dates", "2020", "garbage"]) == 2
+    assert main(two + ["--dates", "2020", "2021",
+                       "--baseline", "1,2"]) == 2        # single point
+    assert main(two + ["--dates", "2020", "2021",
+                       "--baseline", "1,2 x,y"]) == 2    # non-numeric
 
 
 def test_geo_extraction_to_change_rates_end_to_end(tmp_path, monkeypatch):

@@ -82,6 +82,23 @@ def test_serving_bundle(qmodel, tmp_path):
     assert back.arch == "robust_unet"
 
 
+def test_serving_bundle_weights_live_on_device(qmodel, tmp_path):
+    """The bundle's serving fn must close over DEVICE-resident weights:
+    np.load gives host numpy, and handing that tree to the jitted export
+    re-uploads every weight through the tunnel on every call (the
+    QuantizedModel bug class, CLAUDE.md round-3 post-mortem)."""
+    import jax
+
+    qm, x = qmodel
+    d = tmp_path / "bundle"
+    deploy.save_serving_bundle(d, qm, batch_size=2, image_size=64)
+    fn, _ = deploy.load_serving_bundle(d)
+    cells = dict(zip(fn.__code__.co_freevars, fn.__closure__))
+    tree = cells["qparams_dev"].cell_contents
+    leaves = jax.tree_util.tree_leaves(tree)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+
 def test_export_rejects_wrong_shape(qmodel):
     qm, x = qmodel
     data = deploy.export_serving(qm, batch_size=2, image_size=64)

@@ -7,6 +7,7 @@ component numbering, same walk, same keep set — so these tests assert
 array equality, not tolerances.
 """
 
+import os
 import shutil
 import time
 
@@ -88,6 +89,46 @@ def test_rdp_bit_parity(lib):
     np.testing.assert_array_equal(native.rdp(same, 1.0), _rdp(same, 1.0))
     short = np.array([[0, 0], [3, 4]], np.int32)
     np.testing.assert_array_equal(native.rdp(short, 1.0), short)
+
+
+def test_rdp_no_int32_overflow_on_huge_spans(lib):
+    """Coordinate spans past ~46341 px overflow an int32 cross product —
+    the C++ always computed in int64; the Python side must agree (it
+    upcasts now). 46341*46341 wraps int32 to a tiny value, which would
+    silently DROP the far-off middle vertex."""
+    pts = np.array([[0, 0], [46341, 46341], [92682, 0]], np.int32)
+    kept = _rdp(pts, 10.0)
+    np.testing.assert_array_equal(kept, pts)  # middle is ~46341 px off-line
+    np.testing.assert_array_equal(native.rdp(pts, 10.0), kept)
+
+
+def test_cache_dir_refuses_foreign_ownership(tmp_path, monkeypatch):
+    """The .so cache must never load from a directory owned by another
+    user (predictable-path code execution). Non-owned dir -> no native."""
+    if not hasattr(os, "getuid") or os.getuid() != 0:
+        pytest.skip("needs root to fabricate a foreign-owned dir")
+    foreign = tmp_path / "evil_cache"
+    foreign.mkdir()
+    os.chown(foreign, 1, 1)  # daemon-owned
+    monkeypatch.setenv("COASTLINE_NATIVE_CACHE", str(foreign))
+    assert native._cache_dir() is None
+    assert native.build_library() is None
+
+
+def test_default_cache_dir_is_per_user(monkeypatch):
+    """Without overrides the cache lands under the user's own cache root,
+    not a world-shared /tmp path."""
+    monkeypatch.delenv("COASTLINE_NATIVE_CACHE", raising=False)
+    d = native._cache_dir()
+    assert d is not None
+    home_cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    import tempfile as _tf
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    assert (d.startswith(home_cache)
+            or d == os.path.join(_tf.gettempdir(), f"coastline_native_{uid}"))
+    if hasattr(os, "getuid"):
+        assert os.stat(d).st_uid == os.getuid()
 
 
 def test_extract_contours_backends_agree(lib):
