@@ -78,6 +78,13 @@ def main(argv=None):
                    help="tensor-parallel factor carved out of the "
                         "--data-parallel device count (channel-sharded "
                         "params + Adam moments over a 'model' mesh axis)")
+    p.add_argument("--sharded-data", action="store_true",
+                   help="sample-shard the dataset over the mesh's data axis "
+                        "(each chip holds 1/k of the dataset; requires "
+                        "--data-parallel and batch divisible by the axis)")
+    p.add_argument("--throughput-batch", type=int, default=64,
+                   help="also time inference at this batch and add an img/s "
+                        "column to the tables (0 = protocol timing only)")
     p.add_argument("--protocol", choices=["auto", "main", "comne"], default="auto",
                    help="scheduler wiring: auto = per-model reference protocol "
                         "(comne four step plateau on val/3, rest train/5)")
@@ -125,6 +132,28 @@ def main(argv=None):
               + (f" (model-parallel x{args.model_parallel})"
                  if args.model_parallel > 1 else ""))
 
+    sharded = False
+    if args.sharded_data:
+        from coastline.parallel.mesh import data_axis_size, shard_device_dataset
+        import numpy as np
+
+        if mesh is None:
+            print("--sharded-data requires --data-parallel; ignoring")
+        elif args.batch_size % data_axis_size(mesh):
+            print(f"--sharded-data needs batch {args.batch_size} divisible "
+                  f"by the data axis ({data_axis_size(mesh)}); falling back "
+                  f"to a replicated dataset")
+        else:
+            train_ds = shard_device_dataset(
+                mesh, np.asarray(train_ds.images), np.asarray(train_ds.masks),
+                train_ds.paths)
+            val_ds = shard_device_dataset(
+                mesh, np.asarray(val_ds.images), np.asarray(val_ds.masks),
+                val_ds.paths)
+            sharded = True
+            print(f"datasets sample-sharded over {data_axis_size(mesh)} "
+                  f"chips (1/{data_axis_size(mesh)} per-chip HBM share)")
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     names = [m.strip() for m in args.models.split(",") if m.strip()]
     results, histories, param_counts, predictions = {}, {}, {}, {}
@@ -152,16 +181,20 @@ def main(argv=None):
         )
         print(f"\n{'=' * 40}\nTraining {name}... "
               f"({param_counts[name]:,} params, {epochs} epochs)")
-        ev = Evaluator(model, cfg, mesh=mesh)
+        ev = Evaluator(model, cfg, mesh=mesh, sharded_data=sharded)
         tr = ev.train_model(train_ds, val_ds)
         histories[name] = tr["history"]
         print(f"Best IoU during training: {tr['best_iou']:.4f}")
-        res = ev.evaluate_model(val_ds)
+        res = ev.evaluate_model(val_ds, throughput_batch=args.throughput_batch)
         results[name] = res
         print(f"  IoU: {res['mean_iou']:.4f} ± {res['std_iou']:.3f}")
         print(f"  F1-Score: {res['mean_f1_score']:.4f} ± {res['std_f1_score']:.3f}")
         print(f"  Accuracy: {res['mean_accuracy']:.4f} ± {res['std_accuracy']:.3f}")
-        print(f"  Inference Time: {res['avg_inference_time'] * 1000:.2f}ms")
+        print(f"  Inference Time: {res['avg_inference_time'] * 1000:.2f}ms "
+              f"(per image, protocol batch {res['inference_batch_size']})")
+        if res.get("throughput_images_per_sec") is not None:
+            print(f"  Throughput: {res['throughput_images_per_sec']:.1f} "
+                  f"img/s @ batch {res['throughput_batch_size']}")
 
         if args.error_maps:
             import numpy as np

@@ -40,9 +40,13 @@ class DeviceDataset:
     masks: jnp.ndarray
     paths: Optional[List[str]] = None  # Extended variant returns paths
                                        # (Extended_Baseline_Comparison.py:70)
+    n_valid: Optional[int] = None  # real sample count when the arrays carry
+                                   # wrap-padding (parallel.mesh
+                                   # shard_device_dataset); len() honors it
 
     def __len__(self):
-        return int(self.images.shape[0])
+        return int(self.n_valid if self.n_valid is not None
+                   else self.images.shape[0])
 
     @staticmethod
     def from_numpy(images: np.ndarray, masks: np.ndarray, paths=None,

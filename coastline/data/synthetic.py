@@ -54,16 +54,25 @@ def make_scene(rng: np.random.Generator, size: int = 512) -> Tuple[np.ndarray, n
     return np.clip(img, 0, 255).astype(np.uint8), mask, poly
 
 
-def synthetic_device_dataset(
-    n: int, size: int = 512, seed: int = 0, sharding=None
-) -> DeviceDataset:
+def synthetic_dataset_arrays(
+    n: int, size: int = 512, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host numpy (images, masks) — for callers that place/shard themselves
+    (e.g. parallel.mesh.shard_device_dataset)."""
     rng = np.random.default_rng(seed)
     images, masks = [], []
     for _ in range(n):
         img, msk, _ = make_scene(rng, size)
         images.append(img)
         masks.append(msk)
-    return DeviceDataset.from_numpy(np.stack(images), np.stack(masks), sharding=sharding)
+    return np.stack(images), np.stack(masks)
+
+
+def synthetic_device_dataset(
+    n: int, size: int = 512, seed: int = 0, sharding=None
+) -> DeviceDataset:
+    images, masks = synthetic_dataset_arrays(n, size, seed)
+    return DeviceDataset.from_numpy(images, masks, sharding=sharding)
 
 
 def write_synthetic_tree(root: str, n: int, size: int = 512, seed: int = 0):

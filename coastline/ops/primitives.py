@@ -199,6 +199,18 @@ class _FastBatchNorm(nn.Module):
         return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
+#: Measurement control (scripts/bench_train_bnstat.py): True freezes every
+#: BN to running statistics even in train mode, isolating the cost of the
+#: batch-stat reduction passes in the compiled step. Trace-time only —
+#: flip it BEFORE jit/compile of the function under test.
+_BN_FROZEN = False
+
+
+def set_bn_frozen(value: bool):
+    global _BN_FROZEN
+    _BN_FROZEN = bool(value)
+
+
 class Norm(nn.Module):
     """BatchNorm wrapper: torch semantics, f32 statistics, compute-dtype
     normalization (see _FastBatchNorm)."""
@@ -208,7 +220,8 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = _FastBatchNorm(name="BatchNorm_0")(
-            x.astype(self.dtype), use_running_average=not train
+            x.astype(self.dtype),
+            use_running_average=(not train) or _BN_FROZEN,
         )
         return y.astype(self.dtype)
 

@@ -224,6 +224,101 @@ def local_batch_gather(mesh: Mesh, idx, *arrays):
     return out if len(arrays) > 1 else out[0]
 
 
+def pad_for_sharding(images: np.ndarray, masks: np.ndarray, n_shards: int):
+    """Pad a dataset's leading dim up to a multiple of `n_shards`.
+
+    Padding wraps the FIRST samples (real images — never zeros, so any
+    batch statistics they leak into are real-image statistics, matching
+    `train.loop.batch_indices`' padding policy). Returns
+    (images, masks, n_real); `sharded_batch_indices` marks every padded
+    sample invalid so losses/metrics never see it.
+    """
+    n = images.shape[0]
+    if n == 0:
+        raise ValueError("cannot shard an empty dataset")
+    m = -(-n // n_shards)  # ceil
+    pad = n_shards * m - n
+    if pad:
+        wrap = np.arange(pad) % n  # pad may exceed n (tiny datasets)
+        images = np.concatenate([images, images[wrap]], axis=0)
+        masks = np.concatenate([masks, masks[wrap]], axis=0)
+    return images, masks, n
+
+
+def shard_device_dataset(mesh: Mesh, images: np.ndarray, masks: np.ndarray,
+                         paths=None):
+    """Sample-sharded DeviceDataset: each chip's HBM holds only its 1/k of
+    the dataset (contiguous block of the sample axis), padded to divide
+    evenly. `len(ds)` reports the REAL sample count; the stored (padded)
+    size is `ds.images.shape[0]`. Pair with `sharded_epoch_indices` +
+    `make_train_epoch(..., sharded_dataset=True)` for collective-free
+    epochs (SURVEY.md §2.8)."""
+    from coastline.data.pipeline import DeviceDataset
+
+    images, masks, n_real = pad_for_sharding(
+        np.asarray(images), np.asarray(masks), data_axis_size(mesh))
+    di, dm = shard_dataset(mesh, np.ascontiguousarray(images),
+                           np.ascontiguousarray(masks))
+    return DeviceDataset(di, dm, paths, n_valid=n_real)
+
+
+def sharded_batch_indices(n_real: int, n_stored: int, batch_size: int,
+                          n_shards: int, *, shuffle: bool,
+                          rng: np.random.Generator):
+    """Shard-aligned epoch indices: (num_batches, B) GLOBAL indices + a
+    validity mask, such that batch position j always reads from shard
+    j // (B / n_shards) — the alignment `local_batch_gather` requires.
+
+    Each shard's real samples are permuted independently and dealt
+    B/n_shards per batch (torch DistributedSampler semantics: stratified
+    -by-shard shuffling instead of a global shuffle — a documented,
+    standard deviation for sample-sharded loading). Every real sample
+    appears exactly once valid per epoch; shard-tail padding wraps the
+    shard's own order and is masked invalid, as are the dataset's
+    `pad_for_sharding` duplicates (global index >= n_real).
+    """
+    if batch_size % n_shards:
+        raise ValueError(
+            f"batch_size={batch_size} must divide by the data-axis size "
+            f"{n_shards} for sample-sharded training")
+    if n_stored % n_shards:
+        raise ValueError(f"stored dataset size {n_stored} not divisible by "
+                         f"{n_shards}; use pad_for_sharding")
+    m = n_stored // n_shards  # shard size
+    per = batch_size // n_shards
+    real = [int(np.clip(n_real - s * m, 0, m)) for s in range(n_shards)]
+    if max(real) == 0:
+        raise ValueError("dataset has no real samples")
+    num_batches = -(-max(real) // per)
+    total = num_batches * per
+    cols_idx, cols_valid = [], []
+    for s in range(n_shards):
+        r = real[s]
+        if r == 0:  # shard holds only padding: emit index 0, all invalid
+            order = np.zeros(total, dtype=np.int64)
+        else:
+            order = rng.permutation(r) if shuffle else np.arange(r)
+            order = order[np.arange(total) % r]
+        cols_idx.append((order + s * m).reshape(num_batches, per))
+        v = (np.arange(total) < r).astype(np.float32)
+        cols_valid.append(v.reshape(num_batches, per))
+    return (
+        np.concatenate(cols_idx, axis=1).astype(np.int32),
+        np.concatenate(cols_valid, axis=1),
+    )
+
+
+def sharded_epoch_indices(mesh: Mesh, ds, batch_size: int, *, shuffle: bool,
+                          rng: np.random.Generator):
+    """LOCAL per-shard epoch indices + validity for a `shard_device_dataset`
+    dataset — ready to feed a `sharded_dataset=True` epoch."""
+    k = data_axis_size(mesh)
+    n_stored = int(ds.images.shape[0])
+    gidx, valid = sharded_batch_indices(
+        len(ds), n_stored, batch_size, k, shuffle=shuffle, rng=rng)
+    return localize_aligned_indices(gidx, n_stored, k), valid
+
+
 def localize_aligned_indices(global_idx: np.ndarray, n: int, n_shards: int):
     """Global->local index conversion for an aligned batch.
 

@@ -135,6 +135,24 @@ def _compute_loss(model, config: TrainConfig, logits, masks, valid, rgb01=None):
     return (per_img * w).sum() / denom
 
 
+def _gather_batch(images, masks, idx, mesh, sharded: bool):
+    """Pull one fixed-shape batch out of the resident dataset.
+
+    Replicated (default): `jnp.take` with global indices — every chip holds
+    the whole dataset. Sharded (`sharded=True`, SURVEY.md §2.8): the
+    dataset arrays are sample-sharded over the mesh's data axes
+    (`parallel.mesh.shard_device_dataset`) and `idx` holds shard-LOCAL
+    indices (`sharded_epoch_indices`); the gather shard_maps so each chip
+    reads only its own HBM shard — no dataset-sized collective in the
+    compiled epoch (asserted in tests/test_parallel.py).
+    """
+    if sharded:
+        from coastline.parallel.mesh import local_batch_gather
+
+        return local_batch_gather(mesh, idx, images, masks)
+    return jnp.take(images, idx, axis=0), jnp.take(masks, idx, axis=0)
+
+
 def _constrain_batch(x, y, mesh):
     """Pin the gathered batch to the mesh's batch sharding; GSPMD then
     partitions the whole fwd/bwd and inserts the gradient all-reduce."""
@@ -147,15 +165,22 @@ def _constrain_batch(x, y, mesh):
 
 
 def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] = None,
-                     mesh=None):
-    """Build a jitted epoch: lax.scan over gather-indexed fixed-shape batches."""
+                     mesh=None, sharded_dataset: bool = False):
+    """Build a jitted epoch: lax.scan over gather-indexed fixed-shape batches.
+
+    `sharded_dataset=True` (requires `mesh`): dataset arrays are sample
+    -sharded over the data axes and `idx` is shard-local — see
+    `_gather_batch`. Each chip trains from its own dataset shard; HBM cost
+    per chip is dataset/k instead of the full copy.
+    """
+    if sharded_dataset and mesh is None:
+        raise ValueError("sharded_dataset=True requires a mesh")
     tx = make_optimizer(config.weight_decay)
 
     def step(carry, batch_idx_valid, images, masks):
         state = carry
         idx, valid = batch_idx_valid
-        x_u8 = jnp.take(images, idx, axis=0)
-        y = jnp.take(masks, idx, axis=0)
+        x_u8, y = _gather_batch(images, masks, idx, mesh, sharded_dataset)
         x_u8, y = _constrain_batch(x_u8, y, mesh)
 
         rng = jax.random.fold_in(state.rng, state.step)
@@ -203,13 +228,15 @@ def make_train_epoch(model, config: TrainConfig, augment_fn: Optional[Callable] 
     return train_epoch
 
 
-def make_eval_epoch(model, config: TrainConfig, mesh=None):
+def make_eval_epoch(model, config: TrainConfig, mesh=None,
+                    sharded_dataset: bool = False):
     """Jitted full-validation pass: loss + per-image metrics, all on device."""
+    if sharded_dataset and mesh is None:
+        raise ValueError("sharded_dataset=True requires a mesh")
 
     def step(_, batch, params, batch_stats, images, masks):
         idx, valid = batch
-        x_u8 = jnp.take(images, idx, axis=0)
-        y = jnp.take(masks, idx, axis=0)
+        x_u8, y = _gather_batch(images, masks, idx, mesh, sharded_dataset)
         x_u8, y = _constrain_batch(x_u8, y, mesh)
         x = normalize_images(x_u8)
         logits = model.apply(
@@ -270,6 +297,24 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool, rng: np.random.Gene
         padded.reshape(num_batches, batch_size),
         valid.reshape(num_batches, batch_size),
     )
+
+
+def epoch_indices(ds, batch_size: int, *, shuffle: bool, rng,
+                  mesh=None, sharded: bool = False):
+    """Epoch index plan: global wrap-padded batches (replicated data) or
+    shard-local aligned batches (`sharded=True`, a sample-sharded
+    DeviceDataset from `parallel.mesh.shard_device_dataset`)."""
+    if not sharded:
+        return batch_indices(len(ds), batch_size, shuffle=shuffle, rng=rng)
+    if isinstance(ds, HostDataset):
+        raise ValueError(
+            "sharded data requires device-resident sharded datasets "
+            "(parallel.mesh.shard_device_dataset); HostDataset chunked "
+            "uploads already bound per-chip HBM — use one or the other")
+    from coastline.parallel.mesh import sharded_epoch_indices
+
+    return sharded_epoch_indices(mesh, ds, batch_size, shuffle=shuffle,
+                                 rng=rng)
 
 
 def _chunk_stream(ds: HostDataset, idx: np.ndarray, valid: np.ndarray):
@@ -336,15 +381,27 @@ class Evaluator:
     'total_samples'}` (`Main_Final.py:549-668`).
     """
 
-    def __init__(self, model, config: TrainConfig, augment_fn=None, mesh=None):
+    def __init__(self, model, config: TrainConfig, augment_fn=None, mesh=None,
+                 sharded_data: bool = False):
+        """`sharded_data=True` (requires `mesh`): datasets passed to
+        train_model/evaluate_model must be sample-sharded DeviceDatasets
+        (`parallel.mesh.shard_device_dataset`); epochs then read each
+        chip's own shard with no dataset-sized collective (SURVEY §2.8)."""
         self.model = model
         self.config = config
         self.mesh = mesh
-        self._train_epoch = make_train_epoch(model, config, augment_fn, mesh)
-        self._eval_epoch = make_eval_epoch(model, config, mesh)
+        self.sharded_data = sharded_data
+        self._train_epoch = make_train_epoch(model, config, augment_fn, mesh,
+                                             sharded_dataset=sharded_data)
+        self._eval_epoch = make_eval_epoch(model, config, mesh,
+                                           sharded_dataset=sharded_data)
         from coastline.utils.metrics_log import JsonlLogger
 
         self._log = JsonlLogger(config.log_path or None)
+
+    def _epoch_indices(self, ds, batch_size: int, *, shuffle: bool, rng):
+        return epoch_indices(ds, batch_size, shuffle=shuffle, rng=rng,
+                             mesh=self.mesh, sharded=self.sharded_data)
 
     def _run_train_epoch(self, state, ds, idx, valid):
         return run_train_epoch_any(self._train_epoch, state, ds, idx, valid)
@@ -413,13 +470,13 @@ class Evaluator:
         history = {k: [] for k in ("train_loss", "val_loss", "val_iou", "val_f1", "val_accuracy")}
         best_iou = 0.0
 
-        vidx, vvalid = batch_indices(
-            len(val_ds), cfg.eval_batch_size, shuffle=False, rng=host_rng
+        vidx, vvalid = self._epoch_indices(
+            val_ds, cfg.eval_batch_size, shuffle=False, rng=host_rng
         )
 
         for epoch in range(cfg.epochs):
-            idx, valid = batch_indices(
-                len(train_ds), cfg.batch_size, shuffle=True, rng=host_rng
+            idx, valid = self._epoch_indices(
+                train_ds, cfg.batch_size, shuffle=True, rng=host_rng
             )
             state, train_loss = self._run_train_epoch(state, train_ds, idx, valid)
             val_loss, agg = self._run_eval_epoch(
@@ -464,11 +521,18 @@ class Evaluator:
         self.state = state
         return {"best_iou": best_iou, "history": history}
 
-    def evaluate_model(self, test_ds: DeviceDataset, state: Optional[TrainState] = None):
+    def evaluate_model(self, test_ds: DeviceDataset, state: Optional[TrainState] = None,
+                       throughput_batch: int = 0):
+        """Protocol metrics + timing. `avg_inference_time` is per-image at
+        the PROTOCOL batch (eval_batch_size, default 2 — faithful to
+        `Main_Final.py:644`, but ~2.5x off the chip's best rate).
+        `throughput_batch > 0` additionally times at that batch and
+        reports `throughput_images_per_sec` so result tables carry the
+        chip's actual serving rate alongside the protocol number."""
         cfg = self.config
         state = state or self.state
-        idx, valid = batch_indices(
-            len(test_ds), cfg.eval_batch_size, shuffle=False,
+        idx, valid = self._epoch_indices(
+            test_ds, cfg.eval_batch_size, shuffle=False,
             rng=np.random.default_rng(0),
         )
 
@@ -491,6 +555,15 @@ class Evaluator:
         )
         per_image_time = sec / x0.shape[0]
 
+        throughput_ips = None
+        if throughput_batch and throughput_batch > 0:
+            bidx = jnp.arange(throughput_batch) % len(test_ds)
+            xb = normalize_images(jnp.take(test_ds.images, bidx, axis=0))
+            sec_b = device_loop_seconds(
+                step, (state.params, state.batch_stats, xb), n_loop=10, trials=2
+            )
+            throughput_ips = throughput_batch / sec_b
+
         _, agg = self._run_eval_epoch(
             state.params, state.batch_stats, test_ds, idx, valid
         )
@@ -500,5 +573,8 @@ class Evaluator:
         # artifacts/figures quoting the number are unambiguous (the
         # reference also timed at its own loader batch, Main_Final.py:644).
         results["inference_batch_size"] = int(x0.shape[0])
+        if throughput_ips is not None:
+            results["throughput_images_per_sec"] = float(throughput_ips)
+            results["throughput_batch_size"] = int(throughput_batch)
         results["total_samples"] = int(len(test_ds))
         return results

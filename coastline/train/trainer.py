@@ -38,8 +38,9 @@ from coastline.train.checkpoint import CheckpointManager
 from coastline.train.loop import (
     TrainConfig,
     _chunk_stream,
-    batch_indices,
+    _gather_batch,
     create_train_state,
+    epoch_indices,
     make_train_epoch,
     normalize_images,
     run_train_epoch_any,
@@ -100,11 +101,18 @@ def quality_gate_pairs(image_paths, label_paths, min_px: int = 50, verbose=True)
 
 
 class WaterSegmentationTrainer:
-    def __init__(self, config: TrainerConfig = TrainerConfig(), mesh=None):
+    def __init__(self, config: TrainerConfig = TrainerConfig(), mesh=None,
+                 sharded_data: bool = False):
+        """`sharded_data=True` (requires `mesh`): train/val datasets must be
+        sample-sharded (`parallel.mesh.shard_device_dataset`); each chip
+        then holds and reads only its 1/k of the dataset (SURVEY §2.8)."""
+        if sharded_data and mesh is None:
+            raise ValueError("sharded_data=True requires a mesh")
         self.config = config
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         self.model = UNet(n_classes=2, dtype=dtype)
         self.mesh = mesh
+        self.sharded_data = sharded_data
         self.history = {
             "train_losses": [],
             "val_losses": [],
@@ -132,13 +140,15 @@ class WaterSegmentationTrainer:
     # ------------------------------------------------------------ validate
     def _make_validate(self):
         model = self.model
+        mesh, sharded = self.mesh, self.sharded_data
 
         @jax.jit
         def validate(params, batch_stats, images, masks, idx, valid):
             def step(_, batch):
                 bidx, bvalid = batch
-                x = normalize_images(jnp.take(images, bidx, axis=0))
-                y = jnp.take(masks, bidx, axis=0).astype(jnp.int32)
+                x_u8, y = _gather_batch(images, masks, bidx, mesh, sharded)
+                x = normalize_images(x_u8)
+                y = y.astype(jnp.int32)
                 logits = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x, train=False
                 )
@@ -239,7 +249,9 @@ class WaterSegmentationTrainer:
             if cfg.augment
             else None
         )
-        train_epoch = make_train_epoch(self.model, loop_cfg, augment_fn, self.mesh)
+        train_epoch = make_train_epoch(self.model, loop_cfg, augment_fn,
+                                       self.mesh,
+                                       sharded_dataset=self.sharded_data)
         validate = self._make_validate()
 
         h, w = train_ds.images.shape[1:3]
@@ -251,8 +263,9 @@ class WaterSegmentationTrainer:
         ckpt = CheckpointManager(cfg.save_dir)
         host_rng = np.random.default_rng(cfg.seed)
 
-        vidx, vvalid = batch_indices(
-            len(val_ds), cfg.batch_size, shuffle=False, rng=host_rng
+        vidx, vvalid = epoch_indices(
+            val_ds, cfg.batch_size, shuffle=False, rng=host_rng,
+            mesh=self.mesh, sharded=self.sharded_data,
         )
 
         def run_train_epoch(state, idx, valid):
@@ -295,8 +308,9 @@ class WaterSegmentationTrainer:
                           f"(best IoU {best_iou:.4f})")
         last_epoch, last_saved = None, start_epoch  # nothing saved this run
         for epoch in range(start_epoch, cfg.epochs):
-            idx, valid = batch_indices(
-                len(train_ds), cfg.batch_size, shuffle=True, rng=host_rng
+            idx, valid = epoch_indices(
+                train_ds, cfg.batch_size, shuffle=True, rng=host_rng,
+                mesh=self.mesh, sharded=self.sharded_data,
             )
             state, train_loss = run_train_epoch(state, idx, valid)
             val_loss, val_acc, val_iou = run_validate(state)

@@ -109,6 +109,17 @@ def test_end_to_end_training_learns_synthetic_coast():
     }
     assert results["total_samples"] == 4
     assert abs(results["mean_iou"] - hist["val_iou"][-1]) < 1e-4
+    assert "throughput_images_per_sec" not in results  # opt-in only
+
+    # VERDICT r3 item 8: throughput at the bench-headline batch reported
+    # alongside the protocol latency, and rendered in the results table.
+    res_tp = ev.evaluate_model(val_ds, throughput_batch=8)
+    assert res_tp["throughput_images_per_sec"] > 0
+    assert res_tp["throughput_batch_size"] == 8
+    from coastline.utils.tables import format_results_table
+
+    table = format_results_table({"Robust UNet": res_tp}, {"Robust UNet": 1000})
+    assert "img/s@B8" in table
 
 
 def test_host_dataset_training_matches_resident():
