@@ -549,3 +549,25 @@ def test_scene_program_sharded_over_data_mesh_bit_identical():
 
     with pytest.raises(ValueError):
         ex.predict_scene(scene, batch=6, overlap=16, mesh=mesh)
+
+
+def test_int8_scene_sharded_over_data_mesh_bit_identical():
+    """VERDICT r3 item 5: tile-batch sharding over 'data' is THE int8
+    multi-chip serving route — no conv halos, so the XLA s8 halo-pad bug
+    (the reason 'space'-sharded int8 falls back to dequant-float convs,
+    commit 0921341) never triggers. The int8 scene program under a
+    data-sharded mesh must be bit-identical to single-device int8."""
+    from coastline.infer.extract import CoastlineExtractor
+    from coastline.parallel.mesh import make_mesh
+
+    ex = CoastlineExtractor(image_size=64).quantize()
+    rng = np.random.default_rng(11)
+    scene = rng.integers(0, 255, (150, 200, 3), dtype=np.uint8)
+
+    ref_mask, ref_band = ex.predict_scene(scene, batch=8, overlap=16,
+                                          with_band=5)
+    mesh = make_mesh(8)  # data=8: tiles shard, weights/scales replicate
+    got_mask, got_band = ex.predict_scene(scene, batch=8, overlap=16,
+                                          with_band=5, mesh=mesh)
+    np.testing.assert_array_equal(ref_mask, got_mask)
+    np.testing.assert_array_equal(ref_band, got_band)
