@@ -162,6 +162,13 @@ def main():
         acc = json.loads(acc_path.read_text())
         int8_ok = (acc.get("iou_drop", 1.0) <= 0.002
                    and acc.get("mask_agreement_iou", 0.0) >= 0.995)
+    # Full-zoo trained-weights accuracy gate (12 archs, reference
+    # per-model epochs — scripts/eval_quant_accuracy_zoo.py, round 4)
+    int8_zoo_ok = False
+    zoo_path = REPO / "artifacts" / "quant_accuracy_zoo.json"
+    if zoo_path.exists():
+        zoo = json.loads(zoo_path.read_text())
+        int8_zoo_ok = bool(zoo.get("all_gated")) and zoo.get("n_archs", 0) >= 12
 
     # Train-step throughput (batch 8, BCE, full Adam update). The epoch scan
     # already loops on device; give it 10 batches and subtract the RTT.
@@ -206,6 +213,7 @@ def main():
         "bf16_images_per_sec": round(best_ips, 2),
         "int8_images_per_sec": round(int8_ips, 2) if int8_b else None,
         "int8_accuracy_gated": int8_ok,
+        "int8_zoo_accuracy_gated": int8_zoo_ok,
         "p50_tile_latency_ms": round(p50_ms, 2),
         "train_images_per_sec_per_chip": round(train_ips, 2),
         "platform": dev.platform,

@@ -494,6 +494,24 @@ class _QT:
 DEFAULT_POLICY = {
     "conv_min_ch": 64,   # int8 conv iff min(C_in, C_out) >= this
     "convT_int8": True,  # int8 path for lhs-dilated (transposed) convs
+    # Round-4 experiment, measured NEGATIVE (artifacts/quant_experiments.
+    # json): quantizing the CBAM gated tensor at its own `.gated` site
+    # ADDS cost-model bytes (1.678 -> 1.896 GB/img) and loses 10% end to
+    # end (265 -> 240 img/s) — the round/clip requant pass does not fuse
+    # with the three consumers, so it buys an extra pass instead of
+    # halving one. Kept off; the sites still calibrate for artifact
+    # compatibility and future XLA re-evaluation.
+    "gated_int8": False,
+    # Round-4 experiment, INFEASIBLE at production shape: splitting the
+    # decoder `conv(concat(skip, up))` into two s8 convs summed
+    # in-register eliminates the cat requant — but XLA can fuse a dequant
+    # epilogue only into a single-conv fusion root, so one conv's raw s32
+    # accumulator materializes ((64,512,512,64) s32 = 8 GB with 2x layout
+    # padding) and the AOT compile exhausts HBM (quant_exp2 log, round
+    # 4). The single-conv cat path already fuses dequant->concat->requant
+    # into one s8 elementwise pass, which is why the attribution shows no
+    # bf16 concat buffers. Works at small shapes; off for production.
+    "split_cat": False,
 }
 
 
@@ -511,13 +529,19 @@ class _Ctx:
     def quant(self):
         return self.scales is not None
 
-    def site(self, name: str, t: jnp.ndarray) -> _QT:
-        """Quantize float tensor `t` at a named site (or record its range)."""
+    def site(self, name: str, t: jnp.ndarray, optional: bool = False) -> _QT:
+        """Quantize float tensor `t` at a named site (or record its range).
+
+        `optional=True` marks sites added after artifacts already shipped
+        (e.g. the round-4 CBAM `.gated` sites): calibration always records
+        them, but int8 mode quantizes only when the loaded scale dict has
+        the site — older `.npz` bundles keep their bf16 behavior instead
+        of KeyErroring."""
         if self.collect is not None:
             m = jnp.max(jnp.abs(t.astype(jnp.float32)))
             prev = self.collect.get(name)
             self.collect[name] = m if prev is None else jnp.maximum(prev, m)
-        if not self.quant:
+        if not self.quant or (optional and name not in self.scales):
             return _QT(t.astype(self.dtype))
         step = jnp.float32(self.scales[name] / 127.0)
         q = jnp.clip(jnp.round(t.astype(jnp.float32) / step), -127, 127)
@@ -565,6 +589,48 @@ def _conv(ctx: _Ctx, x: _QT, entry, stride=1, padding=0, dilation=1,
     return y + jnp.asarray(b, ctx.dtype)
 
 
+def _conv_cat(ctx: _Ctx, a: _QT, b: _QT, entry, stride=1, padding=0):
+    """`conv(concat([a, b], -1), W)` without materializing the concat.
+
+    int8 path: the kernel splits along C_in and each part convolves the
+    operand's OWN s8 codes (their sites already exist: ag/up/dc outputs);
+    the two s32 accumulators dequant-sum with their own scales,
+    eliminating the `.cat`-site requant and its rounding. MEASURED
+    NEGATIVE at production shape (see DEFAULT_POLICY["split_cat"]): the
+    two-conv sum denies XLA its single-root epilogue fusion, so an s32
+    accumulator materializes at 4x the s8 size and the 512^2 B>=64
+    compile exhausts HBM. Kept for small-shape use and as the recorded
+    experiment; callers keep the `.cat`-site path for the
+    float/calibration anchor and whenever the policy disables the
+    split."""
+    if isinstance(entry, dict):
+        w, bias, wq, wstep = entry["w"], entry["b"], entry["wq"], entry["wstep"]
+    else:
+        (w, bias), wq, wstep = entry, None, None
+    c0 = a.q.shape[-1]
+    cout = w.shape[-1]
+    pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) \
+        else padding
+    dn = ("NHWC", "HWIO", "NHWC")
+    use_int8 = (ctx.quant and a.step is not None and b.step is not None
+                and wq is not None
+                and min(c0, w.shape[2] - c0, cout) >= ctx.policy["conv_min_ch"])
+    if not use_int8:
+        xcat = _QT(jnp.concatenate([a.f(ctx.dtype), b.f(ctx.dtype)], axis=-1))
+        return _conv(ctx, xcat, entry, stride=stride, padding=padding)
+    wq = jnp.asarray(wq)
+    acc1 = lax.conv_general_dilated(
+        a.q, wq[:, :, :c0, :], (stride, stride), pad,
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+    acc2 = lax.conv_general_dilated(
+        b.q, wq[:, :, c0:, :], (stride, stride), pad,
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+    wstep = jnp.asarray(wstep)
+    y = (acc1.astype(jnp.float32) * (a.step * wstep)
+         + acc2.astype(jnp.float32) * (b.step * wstep) + bias)
+    return y.astype(ctx.dtype)
+
+
 def _maxpool(x: _QT, window: int = 2, stride: int = 2,
              padding: int = 0) -> _QT:
     """Max pool directly on the codes (monotonic under dequant)."""
@@ -576,13 +642,22 @@ def _maxpool(x: _QT, window: int = 2, stride: int = 2,
     return _QT(y, x.step)
 
 
-def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
+def _residual_block(ctx: _Ctx, name: str, x: _QT, p, pair=None) -> _QT:
+  """`pair=(a, b)`: the block's input is concat([a, b], -1) — the two
+  input convs run via `_conv_cat` so the concat never materializes
+  (int8 split_cat path). `x` is ignored when `pair` is given."""
+  with jax.named_scope(name):
     dt = ctx.dtype
-    if p["short"] is not None:
-        short = ctx.site(f"{name}.short", _conv(ctx, x, p["short"]))
+    if pair is not None:
+        assert p["short"] is not None, "concat blocks change channels"
+        short = ctx.site(f"{name}.short", _conv_cat(ctx, *pair, p["short"]))
+        t1 = jax.nn.relu(_conv_cat(ctx, *pair, p["c1"], padding=1))
     else:
-        short = x
-    t1 = jax.nn.relu(_conv(ctx, x, p["c1"], padding=1))
+        if p["short"] is not None:
+            short = ctx.site(f"{name}.short", _conv(ctx, x, p["short"]))
+        else:
+            short = x
+        t1 = jax.nn.relu(_conv(ctx, x, p["c1"], padding=1))
     t1 = ctx.site(f"{name}.t1", t1)
     mid = ctx.site(f"{name}.mid", _conv(ctx, t1, p["c2"], padding=1))
 
@@ -590,7 +665,6 @@ def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
     # (int8 codes / bf16) — f32 appears only as reduction accumulators and
     # on the pooled (N, C) vectors. An f32 materialization here measured a
     # 6x end-to-end regression (bench_quant.py round-3 log).
-    midb = mid.f(dt)  # rematerializes into each consumer fusion
     # Pool the raw codes (reads int8, f32 accumulator); dequant the tiny
     # pooled vectors exactly. Mean/max commute with the positive step.
     avg = jnp.mean(mid.q, axis=(1, 2), dtype=jnp.float32)
@@ -603,20 +677,30 @@ def _residual_block(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
     gate = jax.nn.relu(avg @ fc1) @ fc2 + jax.nn.relu(mx @ fc1) @ fc2
     gc = jax.nn.sigmoid(gate).astype(dt)  # (N, C)
 
-    # CBAM spatial gate on the channel-gated tensor
-    gated = midb * gc[:, None, None, :]
-    att = jnp.stack([jnp.mean(gated, axis=-1, dtype=jnp.float32).astype(dt),
-                     jnp.max(gated, axis=-1)], axis=-1)  # (N, H, W, 2)
+    # CBAM spatial gate on the channel-gated tensor. The gated tensor is
+    # re-read by the channel mean/max AND the residual output, so it
+    # crosses HBM as int8 at its own site when the policy + scales allow
+    # (DEFAULT_POLICY["gated_int8"]); the per-tensor step commutes with
+    # the channel-axis reductions.
+    gated_f = mid.f(dt) * gc[:, None, None, :]
+    if ctx.quant and not ctx.policy.get("gated_int8", True):
+        gq = _QT(gated_f)  # policy-disabled: bf16 gated (round-3 graph)
+    else:
+        gq = ctx.site(f"{name}.gated", gated_f, optional=True)
+    gb = gq.f(dt)
+    att = jnp.stack([jnp.mean(gb, axis=-1, dtype=jnp.float32).astype(dt),
+                     jnp.max(gb, axis=-1)], axis=-1)  # (N, H, W, 2)
     sa = lax.conv_general_dilated(
         att, jnp.asarray(p["sa"], dt),
         (1, 1), ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     gs = jax.nn.sigmoid(sa)  # (N, H, W, 1), compute dtype like the model
 
-    out = jax.nn.relu(gated * gs + short.f(dt))
+    out = jax.nn.relu(gb * gs + short.f(dt))
     return ctx.site(f"{name}.out", out)
 
 
 def _attention_gate(ctx: _Ctx, name: str, g: _QT, x: _QT, p) -> _QT:
+  with jax.named_scope(name):
     g1 = _conv(ctx, g, p["g"])
     x1 = _conv(ctx, x, p["x"])
     psi = ctx.site(f"{name}.psi", jax.nn.relu(g1 + x1))
@@ -625,8 +709,13 @@ def _attention_gate(ctx: _Ctx, name: str, g: _QT, x: _QT, p) -> _QT:
     return ctx.site(f"{name}.out", x.f(ctx.dtype) * gate)
 
 
-def _double_conv(ctx: _Ctx, name: str, x: _QT, p) -> _QT:
-    t1 = ctx.site(f"{name}.t1", jax.nn.relu(_conv(ctx, x, p["c1"], padding=1)))
+def _double_conv(ctx: _Ctx, name: str, x: _QT, p, pair=None) -> _QT:
+  with jax.named_scope(name):
+    if pair is not None:
+        t1_raw = _conv_cat(ctx, *pair, p["c1"], padding=1)
+    else:
+        t1_raw = _conv(ctx, x, p["c1"], padding=1)
+    t1 = ctx.site(f"{name}.t1", jax.nn.relu(t1_raw))
     return ctx.site(f"{name}.out", jax.nn.relu(_conv(ctx, t1, p["c2"], padding=1)))
 
 
@@ -646,9 +735,15 @@ def _forward_unet(qp, scales, x, collect=None, dtype=jnp.bfloat16,
         up = _conv(ctx, cur, qp[f"up{i}"], lhs_dilation=(2, 2),
                    padding=((1, 1), (1, 1)))
         up = ctx.site(f"up{i}.out", up)
-        cat = ctx.site(f"cat{i}", jnp.concatenate(
-            [up.f(ctx.dtype), enc[3 - i].f(ctx.dtype)], axis=-1))
-        cur = _double_conv(ctx, f"dc{5 + i}", cat, qp[f"dc{5 + i}"])
+        skip = enc[3 - i]
+        if (ctx.quant and ctx.policy.get("split_cat", True)
+                and up.step is not None and skip.step is not None):
+            cur = _double_conv(ctx, f"dc{5 + i}", None, qp[f"dc{5 + i}"],
+                               pair=(up, skip))
+        else:
+            cat = ctx.site(f"cat{i}", jnp.concatenate(
+                [up.f(ctx.dtype), skip.f(ctx.dtype)], axis=-1))
+            cur = _double_conv(ctx, f"dc{5 + i}", cat, qp[f"dc{5 + i}"])
     return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
 
 
@@ -679,9 +774,14 @@ def _forward(qp, scales, x, collect=None, dtype=jnp.bfloat16, policy=None):
                    padding=((1, 1), (1, 1)))
         up = ctx.site(f"up{i}.out", up)
         skip = _attention_gate(ctx, f"ag{i}", up, enc[3 - i], qp[f"ag{i}"])
-        cat = ctx.site(f"cat{i}", jnp.concatenate(
-            [skip.f(ctx.dtype), up.f(ctx.dtype)], axis=-1))
-        cur = _residual_block(ctx, f"rb{5 + i}", cat, qp[f"rb{5 + i}"])
+        if (ctx.quant and ctx.policy.get("split_cat", True)
+                and skip.step is not None and up.step is not None):
+            cur = _residual_block(ctx, f"rb{5 + i}", None, qp[f"rb{5 + i}"],
+                                  pair=(skip, up))
+        else:
+            cat = ctx.site(f"cat{i}", jnp.concatenate(
+                [skip.f(ctx.dtype), up.f(ctx.dtype)], axis=-1))
+            cur = _residual_block(ctx, f"rb{5 + i}", cat, qp[f"rb{5 + i}"])
 
     return _conv(ctx, cur, qp["head"]).astype(jnp.float32)
 

@@ -97,6 +97,27 @@ def test_policy_variants_agree(small_model):
     assert agree > 0.97
 
 
+def test_round4_experiment_policies_agree(small_model):
+    """The round-4 experiment paths (gated_int8 sites, split_cat two-conv
+    decoder) stay correct even though both are policy-off by default as
+    measured negatives (docs/QUANT.md): with the policy forced on, the
+    forward must closely track the default graph — the split path drops
+    the cat-site requant, so agreement is close, not bitwise."""
+    m, v, x = small_model
+    folded = quant.fold_robust_unet(v)
+    scales = quant.calibrate(folded, x, batch_size=2)
+    assert "rb5.gated" in scales and "cat0" in scales  # both site families
+    qp = quant.quantize_folded(folded)
+    default = jax.jit(lambda p, xx: quant.int8_forward(p, scales, xx))(qp, x)
+    for policy in ({"gated_int8": True}, {"split_cat": True},
+                   {"gated_int8": True, "split_cat": True}):
+        got = jax.jit(lambda p, xx, pol=policy: quant.int8_forward(
+            p, scales, xx, policy=pol))(qp, x)
+        assert float(jnp.abs(default - got).mean()) < 0.02, policy
+        agree = float((np.asarray(default > .5) == np.asarray(got > .5)).mean())
+        assert agree > 0.97, policy
+
+
 def test_calibration_sites_cover_every_scale_lookup(small_model):
     _, v, x = small_model
     folded = quant.fold_robust_unet(v)
@@ -320,6 +341,28 @@ def test_quant_accuracy_artifact():
         art = json.load(f)
     assert art["iou_drop"] <= 0.002, art
     assert art["mask_agreement_iou"] >= 0.995, art
+
+
+def test_quant_accuracy_zoo_artifact():
+    """Gate the committed FULL-ZOO on-chip accuracy artifact (round 4):
+    all 12 architectures, trained at the reference per-model epochs on the
+    512^2 synthetic protocol, must each keep their int8 IoU within the
+    recorded gates (scripts/eval_quant_accuracy_zoo.py)."""
+    path = os.path.join(os.path.dirname(ART), "quant_accuracy_zoo.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["n_archs"] == 12, sorted(art["archs"])
+    gates = art["gates"]
+    for arch, row in art["archs"].items():
+        assert row["iou_drop"] <= gates["iou_drop"], (arch, row)
+        assert row["mask_agreement_iou"] >= gates["mask_agreement_iou"], (
+            arch, row)
+        assert row["train_best_iou"] > 0.98, (arch, row)  # really trained
+    # flagship holds the tighter round-3 gate
+    rb = art["archs"]["robust_unet"]
+    assert rb["iou_drop"] <= gates["flagship_iou_drop"]
+    assert rb["mask_agreement_iou"] >= gates["flagship_agreement"]
+    assert art["all_gated"] is True
 
 @pytest.mark.xfail(
     reason="XLA SPMD partitioner bug: the halo-exchange path pads the "
