@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over N devices (0 = single chip)")
+    p.add_argument("--sharded-data", action="store_true",
+                   help="sample-shard the dataset over the mesh's data "
+                        "axis (each chip holds 1/k; requires "
+                        "--data-parallel and batch divisible by the axis)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel factor carved out of the "
                         "--data-parallel device count: channel-shards "
@@ -63,7 +67,18 @@ def main(argv=None):
         dtype=args.dtype,
         checkpoint_every=args.checkpoint_every,
     )
-    trainer = WaterSegmentationTrainer(cfg, mesh=mesh)
+    sharded = False
+    if args.sharded_data:
+        from coastline.parallel.mesh import data_axis_size
+
+        if mesh is None:
+            print("--sharded-data requires --data-parallel; ignoring")
+        elif args.batch_size % data_axis_size(mesh):
+            print(f"--sharded-data needs batch {args.batch_size} divisible "
+                  f"by the data axis ({data_axis_size(mesh)}); ignoring")
+        else:
+            sharded = True
+    trainer = WaterSegmentationTrainer(cfg, mesh=mesh, sharded_data=sharded)
 
     if args.synthetic:
         from coastline.data.synthetic import synthetic_device_dataset
@@ -73,6 +88,23 @@ def main(argv=None):
         val_ds = synthetic_device_dataset(n - int(n * 0.8), args.image_size, seed=1)
     else:
         train_ds, val_ds = trainer.prepare_dataset(args.images_dir, args.labels_dir)
+
+    if sharded:
+        import numpy as np
+
+        from coastline.data.pipeline import DeviceDataset
+        from coastline.parallel.mesh import data_axis_size, shard_device_dataset
+
+        if isinstance(train_ds, DeviceDataset) and isinstance(val_ds, DeviceDataset):
+            train_ds = shard_device_dataset(
+                mesh, np.asarray(train_ds.images), np.asarray(train_ds.masks))
+            val_ds = shard_device_dataset(
+                mesh, np.asarray(val_ds.images), np.asarray(val_ds.masks))
+            print(f"datasets sample-sharded over {data_axis_size(mesh)} chips")
+        else:
+            print("--sharded-data applies to device-resident datasets only; "
+                  "ignoring (host-chunked uploads already bound per-chip HBM)")
+            trainer = WaterSegmentationTrainer(cfg, mesh=mesh)
 
     print(f"training on {len(train_ds)} samples, validating on {len(val_ds)}")
     hist = trainer.train(train_ds, val_ds, resume=args.resume)
