@@ -168,7 +168,10 @@ def main():
     zoo_path = REPO / "artifacts" / "quant_accuracy_zoo.json"
     if zoo_path.exists():
         zoo = json.loads(zoo_path.read_text())
-        int8_zoo_ok = bool(zoo.get("all_gated")) and zoo.get("n_archs", 0) >= 12
+        int8_zoo_ok = (bool(zoo.get("all_gated"))
+                       and zoo.get("n_archs", 0) >= 12
+                       and zoo.get("protocol", {}).get("size") == 512
+                       and not zoo.get("quick"))
 
     # Train-step throughput (batch 8, BCE, full Adam update). The epoch scan
     # already loops on device; give it 10 batches and subtract the RTT.

@@ -4,9 +4,10 @@ The axon tunnel strips device-side XPlane data from profiler traces
 (docs/TRAIN_ROOFLINE.md), so per-op traffic cannot be measured with
 `jax.profiler` in this container. This module recovers a close proxy from
 the compiled executable itself: in post-optimization HLO, every top-level
-(ENTRY) instruction materializes its outputs in HBM — fusions hide their
-interiors, so summing ENTRY output buffers (plus parameter reads) gives
-the program's HBM write/read ledger, attributable per instruction via the
+instruction of a non-fused computation (ENTRY, or a while/scan body)
+materializes its outputs in HBM — fusions hide their interiors, so
+summing those output buffers (plus parameter reads) gives the program's
+HBM write/read ledger, attributable per instruction via the
 `metadata op_name` scopes JAX embeds (e.g.
 "jit(int8_forward)/conv_general_dilated[...]").
 
@@ -27,12 +28,20 @@ _DTYPE_BYTES = {
 
 _SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
 _OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+# computation headers may have nested parens in tuple-typed params
+_COMP_RE = re.compile(r"(ENTRY\s+)?%?([\w.\-]+)\s*\(.*\)\s*->.*\{$")
+_INSTR_RE = re.compile(r"(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)")
+_TYPE_OP_RE = re.compile(
+    r"((?:\([^)]*\)|\w+\[[0-9,]*\](?:\{[^}]*\})?))\s+([\w\-]+)")
+
+#: key under which the ENTRY computation appears in parse_computations
+ENTRY = "ENTRY"
 
 
-def shape_bytes(type_str: str) -> int:
-    """Bytes of all array shapes in an HLO result-type string (handles
-    tuples by summing every `dtype[dims]` occurrence)."""
-    total = 0
+def _dtype_elems(type_str: str) -> Dict[str, int]:
+    """Per-dtype byte counts for every array shape in an HLO result-type
+    string (tuples contribute each member)."""
+    out: Dict[str, int] = defaultdict(int)
     for dtype, dims in _SHAPE_RE.findall(type_str):
         if dtype not in _DTYPE_BYTES:
             continue  # token/opaque
@@ -40,70 +49,86 @@ def shape_bytes(type_str: str) -> int:
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        out[dtype] += n * _DTYPE_BYTES[dtype]
+    return dict(out)
 
 
-def parse_entry_buffers(hlo_text: str) -> List[dict]:
-    """Per-instruction output-buffer sizes for the ENTRY computation.
+def shape_bytes(type_str: str) -> int:
+    """Total bytes of all array shapes in an HLO result-type string."""
+    return sum(_dtype_elems(type_str).values())
 
-    Returns [{name, bytes, op, op_name, line}] for every non-parameter
-    instruction in ENTRY. Instructions inside fused computations / reducer
-    bodies are skipped (they never touch HBM)."""
-    out = []
-    in_entry = False
+
+def parse_computations(hlo_text: str) -> Dict[str, List[dict]]:
+    """Per-computation instruction buffers for an HLO module.
+
+    Returns {computation_name: [{name, bytes, by_dtype, op, op_name}]}
+    with parameters included as op == "parameter" (callers filter). The
+    ENTRY computation is keyed by `ENTRY` ("ENTRY") regardless of its
+    module-assigned name.
+    """
+    comps: Dict[str, List[dict]] = {}
+    cur: Optional[List[dict]] = None
     for raw in hlo_text.splitlines():
         line = raw.strip()
-        if line.startswith("ENTRY "):
-            in_entry = True
+        cm = _COMP_RE.match(line)
+        if cm:
+            key = ENTRY if cm.group(1) else cm.group(2)
+            cur = comps.setdefault(key, [])
             continue
-        if in_entry and line == "}":
-            in_entry = False
+        if line == "}":
+            cur = None
             continue
-        if not in_entry or "=" not in line:
+        if cur is None or "=" not in line:
             continue
-        m = re.match(r"(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)", line)
-        if not m:
+        im = _INSTR_RE.match(line)
+        if not im:
             continue
-        name, rest = m.groups()
-        # result type is everything before the opcode token
-        tm = re.match(r"((?:\([^)]*\)|\w+\[[0-9,]*\](?:\{[^}]*\})?))\s+([\w\-]+)",
-                      rest)
+        name, rest = im.groups()
+        tm = _TYPE_OP_RE.match(rest)
         if not tm:
             continue
         type_str, opcode = tm.groups()
-        if opcode == "parameter":
-            continue
-        op_name = ""
         om = _OPNAME_RE.search(line)
-        if om:
-            op_name = om.group(1)
-        out.append({
+        by_dtype = _dtype_elems(type_str)
+        cur.append({
             "name": name,
-            "bytes": shape_bytes(type_str),
+            "bytes": sum(by_dtype.values()),
+            "by_dtype": by_dtype,
             "op": opcode,
-            "op_name": op_name,
+            "op_name": om.group(1) if om else "",
         })
-    return out
+    return comps
+
+
+def _outputs(buffers: List[dict]) -> List[dict]:
+    return [b for b in buffers if b["op"] != "parameter"]
+
+
+def parse_entry_buffers(hlo_text: str) -> List[dict]:
+    """Output-buffer records for the ENTRY computation (no parameters)."""
+    return _outputs(parse_computations(hlo_text).get(ENTRY, []))
 
 
 def parameter_bytes(hlo_text: str) -> int:
     """Total bytes of ENTRY parameters (weights + inputs read from HBM)."""
-    total = 0
-    in_entry = False
-    for raw in hlo_text.splitlines():
-        line = raw.strip()
-        if line.startswith("ENTRY "):
-            in_entry = True
+    return sum(b["bytes"]
+               for b in parse_computations(hlo_text).get(ENTRY, [])
+               if b["op"] == "parameter")
+
+
+def largest_body(hlo_text: str) -> Tuple[Optional[str], List[dict]]:
+    """The largest non-ENTRY, non-fusion computation (typically a
+    while/scan body) and its output buffers — where a `lax.scan` epoch's
+    per-iteration traffic lives."""
+    best, best_bufs, best_bytes = None, [], 0
+    for name, bufs in parse_computations(hlo_text).items():
+        if name == ENTRY or name.startswith(("fused_", "region_")):
             continue
-        if in_entry and line == "}":
-            break
-        if in_entry and " parameter(" in line:
-            m = re.match(r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(.*?)\s+parameter\(",
-                         line)
-            if m:
-                total += shape_bytes(m.group(1))
-    return total
+        outs = _outputs(bufs)
+        total = sum(b["bytes"] for b in outs)
+        if total > best_bytes:
+            best, best_bufs, best_bytes = name, outs, total
+    return best, best_bufs
 
 
 def _scope_key(op_name: str, depth: int) -> str:
@@ -117,7 +142,7 @@ def _scope_key(op_name: str, depth: int) -> str:
 
 def attribute_by_scope(buffers: List[dict], depth: int = 2,
                        top: Optional[int] = None) -> List[Tuple[str, int, int]]:
-    """Group ENTRY output buffers by op_name scope prefix.
+    """Group output buffers by op_name scope prefix.
 
     Returns [(scope, bytes, count)] sorted by bytes desc."""
     agg: Dict[str, List[int]] = defaultdict(lambda: [0, 0])
@@ -130,33 +155,11 @@ def attribute_by_scope(buffers: List[dict], depth: int = 2,
     return rows[:top] if top else rows
 
 
-def attribute_by_dtype(hlo_text: str) -> Dict[str, int]:
-    """ENTRY output bytes grouped by element dtype — shows how much of the
+def attribute_by_dtype(buffers: List[dict]) -> Dict[str, int]:
+    """Output bytes grouped by element dtype — shows how much of a
     program's materialized traffic is still float in an int8 graph."""
     agg: Dict[str, int] = defaultdict(int)
-    in_entry = False
-    for raw in hlo_text.splitlines():
-        line = raw.strip()
-        if line.startswith("ENTRY "):
-            in_entry = True
-            continue
-        if in_entry and line == "}":
-            break
-        if not in_entry or "=" not in line or " parameter(" in line:
-            continue
-        m = re.match(r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(.*)", line)
-        if not m:
-            continue
-        tm = re.match(r"((?:\([^)]*\)|\w+\[[0-9,]*\](?:\{[^}]*\})?))\s+[\w\-]+",
-                      m.group(1))
-        if not tm:
-            continue
-        for dtype, dims in _SHAPE_RE.findall(tm.group(1)):
-            if dtype not in _DTYPE_BYTES:
-                continue
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            agg[dtype] += n * _DTYPE_BYTES[dtype]
+    for b in buffers:
+        for dtype, n in b["by_dtype"].items():
+            agg[dtype] += n
     return dict(agg)

@@ -10,21 +10,21 @@ def format_results_table(results: Dict[str, dict], param_counts: Dict[str, int])
     `evaluate_model(throughput_batch=...)` measured one, is the chip's
     throughput at the bench-headline batch, so the protocol latency can't
     be misread as the hardware ceiling."""
-    width = 75
     has_tp = any("throughput_images_per_sec" in r for r in results.values())
     tp_batch = next(
         (r["throughput_batch_size"] for r in results.values()
          if "throughput_batch_size" in r), 0)
-    lines = []
-    lines.append("=" * width)
-    lines.append("FINAL COMPARISON RESULTS")
-    lines.append("=" * width)
     header = (
         f"{'Method':<15} {'IoU':<10} {'F1-Score':<10} {'Accuracy':<10} "
         f"{'Parameters':<12} {'Time(ms)':<10}"
     )
     if has_tp:
         header += f" {f'img/s@B{tp_batch}':<10}"
+    width = max(75, len(header))
+    lines = []
+    lines.append("=" * width)
+    lines.append("FINAL COMPARISON RESULTS")
+    lines.append("=" * width)
     lines.append(header)
     lines.append("-" * width)
     for name, r in results.items():

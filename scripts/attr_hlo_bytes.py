@@ -18,8 +18,6 @@ import json
 import pathlib
 import sys
 
-import numpy as np
-
 from coastline.utils.platform import apply_platform_override, enable_compile_cache
 
 enable_compile_cache()
@@ -40,7 +38,7 @@ def analyze(tag, compiled, batch, depth=3, top=25):
     params = parameter_bytes(hlo)
     cost = compiled.cost_analysis() or {}
     rows = attribute_by_scope(bufs, depth=depth, top=top)
-    by_dtype = attribute_by_dtype(hlo)
+    by_dtype = attribute_by_dtype(bufs)
     rep = {
         "entry_write_bytes": writes,
         "parameter_bytes": params,
@@ -136,82 +134,27 @@ def main():
         idx = jnp.zeros((10, B), jnp.int32)
         valid = jnp.ones((10, B), jnp.float32)
         compiled = epoch.lower(state, images, masks, idx, valid).compile()
-        # NB: the epoch scans over 1 batch here; buffers inside the scan
-        # body appear via the while-loop body computation, which is NOT
-        # ENTRY — so parse the body too by promoting it: the scan body in
-        # this program is the dominant computation. utils/hlo_bytes
-        # handles only ENTRY; detect and fall back to whole-module
-        # accounting when ENTRY is trivial.
+        # The epoch is a lax.scan: per-batch traffic lives in the while
+        # body, not ENTRY — attribute the largest body too.
         rep = analyze("bf16 train step", compiled, B)
-        if rep["entry_write_bytes"] < 1 << 28:  # scan hid the body
-            from coastline.utils.hlo_bytes import parse_entry_buffers
+        from coastline.utils.hlo_bytes import attribute_by_scope, largest_body
 
-            hlo = compiled.as_text()
-            # count the largest non-entry computation (the scan body)
-            rep["note"] = ("ENTRY trivial (scan); see body_* fields")
-            body = _largest_body(hlo)
-            rep.update(body)
+        body_name, body_bufs = largest_body(compiled.as_text())
+        if body_name is not None:
+            rep["body_name"] = body_name
+            rep["body_write_bytes"] = sum(b["bytes"] for b in body_bufs)
+            rep["body_top_scopes"] = [
+                {"scope": s, "bytes": b, "n_buffers": n}
+                for s, b, n in attribute_by_scope(body_bufs, depth=4, top=30)]
+            print(f"scan body {body_name}: "
+                  f"{rep['body_write_bytes'] / 2**30:.2f} GB/iteration writes",
+                  file=sys.stderr)
         report["bf16_train"] = rep
 
     OUT.parent.mkdir(exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(report, f, indent=2)
     print(f"\nwrote {OUT}", file=sys.stderr)
-
-
-def _largest_body(hlo_text):
-    """Byte-attribute the largest non-ENTRY computation (a scan body)."""
-    from coastline.utils.hlo_bytes import (
-        attribute_by_scope, shape_bytes,
-    )
-    import re
-
-    comps = {}
-    cur, rows = None, []
-    for raw in hlo_text.splitlines():
-        line = raw.strip()
-        m = re.match(r"%?([\w.\-]+)\s*\([^)]*\)\s*->.*\{$", line)
-        if m and not line.startswith("ENTRY"):
-            cur, rows = m.group(1), []
-            comps[cur] = rows
-            continue
-        if line == "}":
-            cur = None
-            continue
-        if cur is None or "=" not in line or " parameter(" in line:
-            continue
-        mm = re.match(r"(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)", line)
-        if not mm:
-            continue
-        tm = re.match(
-            r"((?:\([^)]*\)|\w+\[[0-9,]*\](?:\{[^}]*\})?))\s+([\w\-]+)",
-            mm.group(2))
-        if not tm:
-            continue
-        opn = ""
-        om = re.search(r'op_name="([^"]*)"', line)
-        if om:
-            opn = om.group(1)
-        rows.append({"name": mm.group(1), "bytes": shape_bytes(tm.group(1)),
-                     "op": tm.group(2), "op_name": opn})
-    # pick the body with max total bytes, excluding pure fusion interiors
-    best, best_bytes = None, 0
-    for name, rows in comps.items():
-        if name.startswith("fused_") or ".clone" in name:
-            continue
-        t = sum(r["bytes"] for r in rows if r["op"] != "parameter")
-        if t > best_bytes:
-            best, best_bytes = name, t
-    if best is None:
-        return {}
-    rows = comps[best]
-    return {
-        "body_name": best,
-        "body_write_bytes": best_bytes,
-        "body_top_scopes": [
-            {"scope": s, "bytes": b, "n_buffers": n}
-            for s, b, n in attribute_by_scope(rows, depth=4, top=30)],
-    }
 
 
 if __name__ == "__main__":

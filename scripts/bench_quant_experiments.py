@@ -54,7 +54,7 @@ def main():
         import os
 
         os.environ["COASTLINE_PLATFORM"] = "cpu"
-        apply_platform_override()
+    apply_platform_override()  # honor COASTLINE_PLATFORM with or without --cpu
 
     from coastline.infer import quant
     from coastline.models.robust_unet import RobustUNet

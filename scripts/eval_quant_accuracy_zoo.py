@@ -35,6 +35,11 @@ import numpy as np
 
 ART = "artifacts/quant_accuracy_zoo.json"
 ART_DIR = "artifacts/quant_accuracy_zoo"
+# --quick (size-64 CPU smoke) must never touch the committed 512^2
+# artifacts or reuse/poison their trained checkpoints — it gets its own
+# tree, and checkpoint filenames carry the protocol size + epochs.
+QUICK_ART = "artifacts/quant_accuracy_zoo_quick.json"
+QUICK_DIR = "artifacts/quant_accuracy_zoo_quick"
 
 # ARCHS key -> (model-registry display name, loss). Epochs come from the
 # reference protocol via cli.bench_all.model_train_config; the 2-class
@@ -67,7 +72,15 @@ def get_trained_variables(arch, display, loss, images, masks, n_train,
     import jax
     import jax.numpy as jnp
 
-    ckpt = os.path.join(ART_DIR, f"trained_{arch}_s{seed}.pkl")
+    size = int(images.shape[1])
+    # legacy name == the committed 512^2 reference-epochs protocol; any
+    # other size/epochs combo gets its own cache key so protocols never
+    # cross-contaminate (round-4 review finding)
+    if size == 512 and epochs is None:
+        ckpt = os.path.join(ART_DIR, f"trained_{arch}_s{seed}.pkl")
+    else:
+        ckpt = os.path.join(
+            ART_DIR, f"trained_{arch}_s{seed}_{size}px_{epochs}ep.pkl")
     if os.path.exists(ckpt):
         with open(ckpt, "rb") as f:
             print(f"{arch}: cached checkpoint {ckpt}", file=sys.stderr)
@@ -225,6 +238,8 @@ def main():
     enable_compile_cache()
 
     if args.quick:
+        global ART, ART_DIR
+        ART, ART_DIR = QUICK_ART, QUICK_DIR
         args.size, args.n = 64, 10
         args.epochs = args.epochs or 2
     n_train = int(args.n * 0.8)

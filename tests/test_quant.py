@@ -351,6 +351,10 @@ def test_quant_accuracy_zoo_artifact():
     path = os.path.join(os.path.dirname(ART), "quant_accuracy_zoo.json")
     with open(path) as f:
         art = json.load(f)
+    # provenance: the committed artifact must be the full 512^2 protocol,
+    # never a --quick smoke (which writes to its own _quick tree anyway)
+    assert art["protocol"]["size"] == 512 and not art.get("quick"), \
+        art["protocol"]
     assert art["n_archs"] == 12, sorted(art["archs"])
     gates = art["gates"]
     for arch, row in art["archs"].items():
