@@ -165,6 +165,7 @@ def eval_arch(arch, images, masks, n_train, size, epochs, seed, quick):
 
     row = {
         "arch": arch,
+        "seed": seed,
         "train_best_iou": best_iou,
         "bf16_iou_mean": float(np.mean(ious_bf16)),
         "int8_iou_mean": float(np.mean(ious_int8)),
@@ -187,12 +188,27 @@ def _softmax1(logits):
 
 
 def aggregate(size, n, n_train, seed, quick):
+    """Merge every recorded seed per arch, keeping the WORST values as the
+    gate numbers (mirrors eval_quant_accuracy.py's conservative policy)."""
     import jax
 
-    rows = []
-    for path in sorted(glob.glob(os.path.join(ART_DIR, f"arch_*_s{seed}.json"))):
+    by_arch = {}
+    for path in sorted(glob.glob(os.path.join(ART_DIR, "arch_*_s*.json"))):
         with open(path) as f:
-            rows.append(json.load(f))
+            r = json.load(f)
+        by_arch.setdefault(r["arch"], []).append(r)
+    rows = []
+    for arch, seeds in sorted(by_arch.items()):
+        worst = dict(max(seeds, key=lambda r: r["iou_drop"]))
+        worst["iou_drop"] = max(r["iou_drop"] for r in seeds)
+        worst["mask_agreement_iou"] = min(r["mask_agreement_iou"]
+                                          for r in seeds)
+        worst["mean_abs_prob_diff"] = max(r["mean_abs_prob_diff"]
+                                          for r in seeds)
+        worst["train_best_iou"] = min(r["train_best_iou"] or 0.0
+                                      for r in seeds)
+        worst["n_seeds"] = len(seeds)
+        rows.append(worst)
     assert rows, "no per-arch rows to aggregate"
     out = {
         "protocol": {"size": size, "n": n, "n_train": n_train,
