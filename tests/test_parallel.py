@@ -468,12 +468,45 @@ def test_evaluator_sharded_data_end_to_end():
     assert 0.0 <= res["mean_iou"] <= 1.0
 
 
+def test_production_shape_sharded_train_step_512_traces():
+    """Shape-level validation of the PRODUCTION-shape sharded program:
+    the full bf16 RobustUNet train epoch (fwd+bwd+Adam, sharded-dataset
+    gather, 512^2 batch 8, data=4 x space=2 mesh) must trace end to end —
+    catches shape/ rank/dtype bugs in seconds without the multi-hour
+    XLA-CPU backend compile the slow variant below needs."""
+    from coastline.models.robust_unet import RobustUNet
+    from coastline.parallel.mesh import make_mesh
+    from coastline.train.loop import (
+        TrainConfig, create_train_state, make_train_epoch,
+    )
+
+    mesh = make_mesh(8, space=2)
+    model = RobustUNet(dtype=jnp.bfloat16)
+    cfg = TrainConfig(epochs=1, batch_size=8, eval_batch_size=8)
+    state = jax.eval_shape(
+        lambda: create_train_state(model, cfg, (1, 512, 512, 3)))
+    epoch = make_train_epoch(model, cfg, mesh=mesh, sharded_dataset=True)
+    out_state, loss = jax.eval_shape(
+        epoch, state,
+        jax.ShapeDtypeStruct((8, 512, 512, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((8, 512, 512), jnp.uint8),
+        jax.ShapeDtypeStruct((2, 8), jnp.int32),
+        jax.ShapeDtypeStruct((2, 8), jnp.float32),
+    )
+    assert loss.shape == ()
+    jax.tree.map(lambda a, b: a.shape == b.shape or (_ for _ in ()).throw(
+        AssertionError((a, b))), state.params, out_state.params)
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(
     __import__("os").environ.get("COASTLINE_RUN_SLOW") != "1",
-    reason="production-shape (512^2) sharded compile smoke: ~20+ min cold "
-           "on the 1-vCPU host (set COASTLINE_RUN_SLOW=1; last verified "
-           "result in artifacts/multichip_512_smoke.json)")
+    reason="production-shape (512^2) sharded compile smoke: the XLA-CPU "
+           "GSPMD compile of the full fwd+bwd step exceeded a dedicated "
+           "4-hour budget on this 1-vCPU container (round 4; status in "
+           "artifacts/multichip_512_smoke.json). Set COASTLINE_RUN_SLOW=1 "
+           "on a host with real cores; eval_shape-level validation of the "
+           "same program runs below in seconds either way")
 def test_production_shape_sharded_train_step_512():
     """VERDICT r3 item 6: one PRODUCTION-shape (512^2, batch 8, bf16
     RobustUNet) sharded-dataset train step compiled and executed on the
