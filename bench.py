@@ -124,7 +124,7 @@ def main():
     # Int8 PTQ path (coastline/infer/quant.py): the deployment speed mode.
     # Headline-eligible only when the committed trained-model accuracy
     # artifact passes its gates (iou_drop <= 0.002, agreement >= 0.995).
-    int8_ips, int8_b = 0.0, None
+    int8_ips, int8_b, int8_p50_ms = 0.0, None, None
     try:
         from coastline.infer import quant
 
@@ -139,6 +139,11 @@ def main():
             return c + y.mean().astype(jnp.float32)
 
         int8_fn = jax.jit(lambda p, x: quant.int8_forward(p, scales, x))
+        # int8 single-tile latency beside the bf16 one: the headline metric
+        # is int8, so the parsed line must carry its own p50 (VERDICT r4)
+        lat_q = device_loop_seconds(int8_step, (qp, x1), n_loop=20, rtt=rtt)
+        int8_p50_ms = lat_q * 1e3
+        log(f"int8 single-tile latency: {int8_p50_ms:.2f} ms")
         for B in (8, 16, 32, 48, 64, 80):
             xb = jax.random.normal(rng, (B, 512, 512, 3), jnp.float32)
             if B >= 48:  # HBM guard: never launch a program that can't fit
@@ -218,6 +223,8 @@ def main():
         "int8_accuracy_gated": int8_ok,
         "int8_zoo_accuracy_gated": int8_zoo_ok,
         "p50_tile_latency_ms": round(p50_ms, 2),
+        "int8_p50_tile_latency_ms": (round(int8_p50_ms, 2)
+                                     if int8_p50_ms else None),
         "train_images_per_sec_per_chip": round(train_ips, 2),
         "platform": dev.platform,
     }

@@ -211,6 +211,24 @@ def set_bn_frozen(value: bool):
     _BN_FROZEN = bool(value)
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def bn_frozen(value: bool = True):
+    """Scoped BN-freeze for measurement code: restores the previous value
+    even on error, so a leaked True can never silently freeze BN statistics
+    for later training in the same process (ADVICE r4). Prefer this over
+    raw set_bn_frozen."""
+    global _BN_FROZEN
+    prev = _BN_FROZEN
+    _BN_FROZEN = bool(value)
+    try:
+        yield
+    finally:
+        _BN_FROZEN = prev
+
+
 class Norm(nn.Module):
     """BatchNorm wrapper: torch semantics, f32 statistics, compute-dtype
     normalization (see _FastBatchNorm)."""

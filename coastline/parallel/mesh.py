@@ -257,6 +257,13 @@ def shard_device_dataset(mesh: Mesh, images: np.ndarray, masks: np.ndarray,
 
     images, masks, n_real = pad_for_sharding(
         np.asarray(images), np.asarray(masks), data_axis_size(mesh))
+    if paths is not None:
+        # wrap-pad paths with the same rule as pad_for_sharding so stored
+        # index i always names sample i's source (ADVICE r4: an unpadded
+        # list misaligns for any index >= n_real)
+        paths = list(paths)
+        paths += [paths[i % n_real]
+                  for i in range(images.shape[0] - len(paths))]
     di, dm = shard_dataset(mesh, np.ascontiguousarray(images),
                            np.ascontiguousarray(masks))
     return DeviceDataset(di, dm, paths, n_valid=n_real)

@@ -557,8 +557,30 @@ class Evaluator:
 
         throughput_ips = None
         if throughput_batch and throughput_batch > 0:
-            bidx = jnp.arange(throughput_batch) % len(test_ds)
-            xb = normalize_images(jnp.take(test_ds.images, bidx, axis=0))
+            if self.sharded_data and self.mesh is not None:
+                # sample-sharded dataset: gather the timing batch shard-
+                # locally (an unconstrained global jnp.take would make
+                # GSPMD all-gather the dataset and leave xb's sharding
+                # unspecified — the timed path must be the batch-sharded
+                # serving path, ADVICE r4)
+                from coastline.parallel.mesh import (
+                    batch_sharding, data_axis_size, local_batch_gather,
+                )
+
+                k = data_axis_size(self.mesh)
+                n_stored = int(test_ds.images.shape[0])
+                shard = n_stored // k
+                per = -(-throughput_batch // k)  # ceil: keep >= requested
+                throughput_batch = per * k
+                lidx = jnp.asarray(
+                    np.tile(np.arange(per) % max(1, min(shard, len(test_ds))),
+                            k).astype(np.int32))
+                xb_u8 = local_batch_gather(self.mesh, lidx, test_ds.images)
+                xb = jax.device_put(normalize_images(xb_u8),
+                                    batch_sharding(self.mesh))
+            else:
+                bidx = jnp.arange(throughput_batch) % len(test_ds)
+                xb = normalize_images(jnp.take(test_ds.images, bidx, axis=0))
             sec_b = device_loop_seconds(
                 step, (state.params, state.batch_stats, xb), n_loop=10, trials=2
             )

@@ -31,8 +31,38 @@ _OPNAME_RE = re.compile(r'op_name="([^"]*)"')
 # computation headers may have nested parens in tuple-typed params
 _COMP_RE = re.compile(r"(ENTRY\s+)?%?([\w.\-]+)\s*\(.*\)\s*->.*\{$")
 _INSTR_RE = re.compile(r"(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)")
-_TYPE_OP_RE = re.compile(
-    r"((?:\([^)]*\)|\w+\[[0-9,]*\](?:\{[^}]*\})?))\s+([\w\-]+)")
+_ARRAY_TYPE_RE = re.compile(r"\w+\[[0-9,]*\](?:\{[^}]*\})?")
+_OPCODE_RE = re.compile(r"\s*([\w\-]+)")
+
+#: ops whose result is not real HBM traffic: constants/iota are materialized
+#: once at load (or folded), parameters are counted separately as reads
+_NON_TRAFFIC_OPS = {"constant", "iota", "parameter"}
+
+
+def _split_type_op(rest: str):
+    """Split an instruction RHS into (result-type string, opcode).
+
+    Tuple result types may nest arbitrarily (while-loop carries are often
+    ((f32[...], ...), s32[]) ), so the type is found with a paren-balanced
+    scan, not a regex (ADVICE r4: the old \\([^)]*\\) alternative silently
+    dropped every nested-tuple instruction from the ledger)."""
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    type_str = rest[: i + 1]
+                    om = _OPCODE_RE.match(rest[i + 1:])
+                    return (type_str, om.group(1)) if om else None
+        return None
+    m = _ARRAY_TYPE_RE.match(rest)
+    if not m:
+        return None
+    om = _OPCODE_RE.match(rest[m.end():])
+    return (m.group(0), om.group(1)) if om else None
 
 #: key under which the ENTRY computation appears in parse_computations
 ENTRY = "ENTRY"
@@ -58,16 +88,22 @@ def shape_bytes(type_str: str) -> int:
     return sum(_dtype_elems(type_str).values())
 
 
-def parse_computations(hlo_text: str) -> Dict[str, List[dict]]:
+def parse_computations(hlo_text: str,
+                       coverage: Optional[dict] = None) -> Dict[str, List[dict]]:
     """Per-computation instruction buffers for an HLO module.
 
     Returns {computation_name: [{name, bytes, by_dtype, op, op_name}]}
     with parameters included as op == "parameter" (callers filter). The
     ENTRY computation is keyed by `ENTRY` ("ENTRY") regardless of its
     module-assigned name.
+
+    Pass a dict as `coverage` to receive {"parsed": N, "skipped": N} —
+    instruction lines inside a computation whose result type could not be
+    parsed (so consumers can see the proxy's coverage, ADVICE r4).
     """
     comps: Dict[str, List[dict]] = {}
     cur: Optional[List[dict]] = None
+    parsed = skipped = 0
     for raw in hlo_text.splitlines():
         line = raw.strip()
         cm = _COMP_RE.match(line)
@@ -82,12 +118,15 @@ def parse_computations(hlo_text: str) -> Dict[str, List[dict]]:
             continue
         im = _INSTR_RE.match(line)
         if not im:
+            skipped += 1
             continue
         name, rest = im.groups()
-        tm = _TYPE_OP_RE.match(rest)
-        if not tm:
+        to = _split_type_op(rest)
+        if to is None:
+            skipped += 1
             continue
-        type_str, opcode = tm.groups()
+        type_str, opcode = to
+        parsed += 1
         om = _OPNAME_RE.search(line)
         by_dtype = _dtype_elems(type_str)
         cur.append({
@@ -97,11 +136,17 @@ def parse_computations(hlo_text: str) -> Dict[str, List[dict]]:
             "op": opcode,
             "op_name": om.group(1) if om else "",
         })
+    if coverage is not None:
+        coverage["parsed"] = parsed
+        coverage["skipped"] = skipped
     return comps
 
 
 def _outputs(buffers: List[dict]) -> List[dict]:
-    return [b for b in buffers if b["op"] != "parameter"]
+    """Real HBM-traffic output buffers: parameters are reads (counted by
+    `parameter_bytes`), constants/iota are load-time or folded, not
+    per-call writes (ADVICE r4)."""
+    return [b for b in buffers if b["op"] not in _NON_TRAFFIC_OPS]
 
 
 def parse_entry_buffers(hlo_text: str) -> List[dict]:

@@ -61,23 +61,52 @@ def main():
     t_build = time.perf_counter() - t0
     print(f"granule built: {scene.shape} in {t_build:.1f}s", flush=True)
 
+    import pickle
+
+    import jax
     import jax.numpy as jnp
 
-    ex = CoastlineExtractor(image_size=512, dtype=jnp.bfloat16)
+    # Trained production 2-class UNet (512^2 synthetic protocol, the zoo
+    # artifact's checkpoint) so the extraction is REAL — a random-weight run
+    # yields a degenerate mask and a vacuous int8 agreement of 1.0.
+    ckpt = pathlib.Path(__file__).resolve().parents[1] / \
+        "artifacts" / "quant_accuracy_zoo" / "trained_unet_s0.pkl"
+    variables, train_iou = None, None
+    if ckpt.exists():
+        with open(ckpt, "rb") as f:
+            variables = pickle.load(f)
+        train_iou = variables.pop("_best_iou", None)
+        print(f"checkpoint: {ckpt.name} (train best IoU {train_iou:.5f})",
+              flush=True)
+    ex = CoastlineExtractor(variables=variables, image_size=512,
+                            dtype=jnp.bfloat16)
 
-    def run():
-        return ex.predict_scene(scene, batch=8, with_band=DILATION)
+    def run(s):
+        return ex.predict_scene(s, batch=8, with_band=DILATION)
 
     t0 = time.perf_counter()
-    mask, band = run()  # compile + first run
+    mask, band = run(scene)  # compile + first run
     t_first = time.perf_counter() - t0
     print(f"first run (incl. compile): {t_first:.1f}s", flush=True)
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        mask, band = run()
+        mask, band = run(scene)
         times.append(time.perf_counter() - t0)
     t_scene = min(times)
+
+    # Device-resident variant: pre-upload the scene once (jnp.asarray in
+    # the dispatch path is then a no-op), isolating compute + download
+    # from the 345 MB tunnel upload the wall numbers include.
+    scene_dev = jax.device_put(scene)
+    jax.block_until_ready(scene_dev)
+    run(scene_dev)
+    times_dev = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(scene_dev)
+        times_dev.append(time.perf_counter() - t0)
+    t_scene_dev = min(times_dev)
 
     t0 = time.perf_counter()
     contours = extract_contours(band)
@@ -85,11 +114,11 @@ def main():
 
     # int8 serving mode over the identical scene program
     ex.quantize()
-    mask_q, band_q = run()  # compile
+    mask_q, band_q = run(scene_dev)  # compile
     times_q = []
     for _ in range(2):
         t0 = time.perf_counter()
-        mask_q, band_q = run()
+        mask_q, band_q = run(scene_dev)
         times_q.append(time.perf_counter() - t0)
     t_scene_q = min(times_q)
     agree = float((mask_q == mask).mean())
@@ -100,12 +129,17 @@ def main():
         "megapixels": round(mpx, 1),
         "tiles_512": 625,
         "dilation_size": DILATION,
+        "checkpoint": ckpt.name if variables is not None else None,
+        "checkpoint_train_iou": (round(train_iou, 5) if train_iou else None),
+        "water_fraction": round(float(mask.mean()), 4),
         "predict_scene_bf16_s": round(t_scene, 2),
-        "predict_scene_int8_s": round(t_scene_q, 2),
+        "predict_scene_bf16_device_resident_s": round(t_scene_dev, 2),
+        "predict_scene_int8_device_resident_s": round(t_scene_q, 2),
         "contours_s": round(t_cont, 2),
         "total_bf16_s": round(t_scene + t_cont, 2),
         "mpx_per_s_bf16": round(mpx / t_scene, 1),
-        "mpx_per_s_int8": round(mpx / t_scene_q, 1),
+        "mpx_per_s_bf16_device_resident": round(mpx / t_scene_dev, 1),
+        "mpx_per_s_int8_device_resident": round(mpx / t_scene_q, 1),
         "first_run_incl_compile_s": round(t_first, 1),
         "int8_vs_bf16_mask_agreement": round(agree, 5),
         "n_coastlines": len(contours),

@@ -89,8 +89,7 @@ def main():
            "rtt_ms": round(rtt * 1e3, 1),
            "platform": jax.default_backend()}
     for tag, frozen in (("production", False), ("bn_frozen", True)):
-        primitives.set_bn_frozen(frozen)
-        try:
+        with primitives.bn_frozen(frozen):
             epoch = make_train_epoch(model, cfg)
             state = create_train_state(model, cfg, (1, S, S, 3))
             compiled = epoch.lower(state, images, masks, idx, valid).compile()
@@ -106,8 +105,6 @@ def main():
             print(f"{tag}: {ips:.2f} img/s, "
                   f"{out[tag]['cost_gbytes']} GB, "
                   f"{out[tag]['cost_gflops']} GF", file=sys.stderr)
-        finally:
-            primitives.set_bn_frozen(False)
 
     a, b = out["production"], out["bn_frozen"]
     out["stat_pass_pct_bytes"] = round(

@@ -89,3 +89,55 @@ def test_parse_real_cpu_compile():
     assert sum(b["bytes"] for b in bufs) >= 16 * 32 * 4  # >= the output
     assert parameter_bytes(hlo) == (64 * 32 + 16 * 64) * 4
     assert all(b["bytes"] >= 0 for b in bufs)
+
+
+# Round-5 parser hardening (ADVICE r4): nested-tuple result types must be
+# parsed (while-loop carries are often ((f32[...],...), s32[])), constants/
+# iota must not count as HBM writes, and coverage must be reported.
+NESTED_HLO = """\
+HloModule jit_loop
+
+%body.9 (arg: ((f32[4,8], s32[]), pred[])) -> ((f32[4,8], s32[]), pred[]) {
+  %arg = ((f32[4,8]{1,0}, s32[]), pred[]) parameter(0)
+  %gte = (f32[4,8]{1,0}, s32[]) get-tuple-element(%arg), index=0
+  ROOT %t = ((f32[4,8]{1,0}, s32[]), pred[]) tuple(%gte, %gte)
+}
+
+ENTRY %main.1 (x: f32[4,8]) -> f32[4,8] {
+  %x = f32[4,8]{1,0} parameter(0)
+  %c = f32[4,8]{1,0} constant({...})
+  %i = s32[4,8]{1,0} iota(), iota_dimension=0
+  ROOT %a = f32[4,8]{1,0} add(%x, %c), metadata={op_name="jit(loop)/add"}
+}
+"""
+
+
+def test_nested_tuple_and_constants():
+    cov = {}
+    comps = parse_computations(NESTED_HLO, coverage=cov)
+    # nested-tuple instructions are in the ledger, not silently dropped
+    body = [b for b in comps["body.9"] if b["op"] == "tuple"]
+    assert len(body) == 1
+    assert body[0]["bytes"] == (4 * 8 * 4 + 4) + 1  # (f32[4,8], s32[]) + pred
+    gte = [b for b in comps["body.9"] if b["op"] == "get-tuple-element"]
+    assert gte and gte[0]["bytes"] == 4 * 8 * 4 + 4
+    assert cov["parsed"] >= 6 and cov["skipped"] == 0
+
+    # constants and iota are excluded from output traffic
+    entry = parse_entry_buffers(NESTED_HLO)
+    assert [b["op"] for b in entry] == ["add"]
+
+
+def test_bn_frozen_context_manager():
+    from coastline.ops import primitives
+
+    assert primitives._BN_FROZEN is False
+    try:
+        with primitives.bn_frozen():
+            assert primitives._BN_FROZEN is True
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    # restored even on error — a leaked True would silently freeze BN
+    # statistics for every later training run in the process (ADVICE r4)
+    assert primitives._BN_FROZEN is False

@@ -463,9 +463,33 @@ def test_evaluator_sharded_data_end_to_end():
                    mesh=mesh, sharded_data=True)
     out = ev.train_model(ds, ds, verbose=False)
     assert np.isfinite(out["history"]["train_loss"][-1])
-    res = ev.evaluate_model(ds)
+    # throughput timing must run the batch-sharded serving path — the
+    # timing batch is gathered shard-locally, never via a dataset
+    # all-gather (ADVICE r4); batch rounds up to a multiple of the axis
+    res = ev.evaluate_model(ds, throughput_batch=8)
     assert res["total_samples"] == 12
     assert 0.0 <= res["mean_iou"] <= 1.0
+    assert res["throughput_images_per_sec"] > 0
+    assert res["throughput_batch_size"] == 8
+
+
+def test_shard_device_dataset_pads_paths():
+    """Stored (padded) index i must name sample i's true source path
+    (ADVICE r4: unpadded paths misaligned for any index >= n_real)."""
+    from coastline.data.synthetic import synthetic_dataset_arrays
+    from coastline.parallel.mesh import make_mesh, shard_device_dataset
+
+    images, masks = synthetic_dataset_arrays(6, size=16, seed=0)
+    paths = [f"img_{i}.png" for i in range(6)]
+    mesh = make_mesh(8)
+    ds = shard_device_dataset(mesh, images, masks, paths=paths)  # 6 -> 8
+    assert ds.images.shape[0] == 8 and len(ds) == 6
+    assert len(ds.paths) == 8
+    assert ds.paths[:6] == paths
+    # wrap rule mirrors pad_for_sharding: padded slot j holds sample j % n
+    assert ds.paths[6] == "img_0.png" and ds.paths[7] == "img_1.png"
+    pad_img = np.asarray(ds.images[6])
+    assert np.array_equal(pad_img, images[0])
 
 
 def test_production_shape_sharded_train_step_512_traces():

@@ -357,14 +357,25 @@ def test_quant_accuracy_zoo_artifact():
         art["protocol"]
     assert art["n_archs"] == 12, sorted(art["archs"])
     gates = art["gates"]
+    # "really trained" floors are derived from the reference's PUBLISHED
+    # per-arch IoU variance (mean - 2*std, capped at 0.93; e.g. ENet
+    # 0.7843 +/- 0.1166 -> 0.551) — the rule is recorded in the artifact
+    # and pinned against baselines/reference_published_iou.json here.
+    floors = art["trained_floors"]
+    assert art["trained_floor_rule"].startswith("min(0.93,")
+    import json as _json
+    pub = _json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "baselines", "reference_published_iou.json")))
     for arch, row in art["archs"].items():
         assert row["iou_drop"] <= gates["iou_drop"], (arch, row)
         assert row["mask_agreement_iou"] >= gates["mask_agreement_iou"], (
             arch, row)
-        # "really trained", not random-init: ENet is the wobbliest (the
-        # reference's own ENet IoU is 0.78 +/- 0.12, BASELINE.md; a seed
-        # here reached 0.946) so the floor sits at 0.9
-        assert row["train_best_iou"] > 0.9, (arch, row)
+        expected_floor = 0.93
+        if arch in pub:
+            expected_floor = min(0.93, pub[arch]["mean"] - 2 * pub[arch]["std"])
+        assert abs(floors[arch] - expected_floor) < 1e-3, (arch, floors)
+        assert row["train_best_iou"] > floors[arch], (arch, row)
     # flagship holds the tighter round-3 gate
     rb = art["archs"]["robust_unet"]
     assert rb["iou_drop"] <= gates["flagship_iou_drop"]
