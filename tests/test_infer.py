@@ -604,3 +604,31 @@ def test_tta_eval_artifact():
     for row in art["seeds"]:
         for cond in ("clean", "noise16", "noise32"):
             assert 0.0 <= row[f"{cond}_tta_iou"] <= 1.0
+
+
+def test_scene_sentinel_artifact():
+    """The Sentinel-2 granule benchmark artifact (VERDICT r4 item 2): a
+    full 10980^2 granule (120.6 Mpx) through the one-program device
+    pipeline with TRAINED weights — the reference downscales any scene to
+    512^2 (predict_coastline.py:433-447) and cannot produce this at all."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "scene_sentinel.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("scene_sentinel.json not generated "
+                    "(run scripts/bench_scene_sentinel.py on-chip)")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["scene"] == "10980x10980" and art["tiles_512"] == 625
+    # trained weights, real extraction — never a random-init degenerate run
+    assert art["checkpoint"] is not None
+    assert art["checkpoint_train_iou"] and art["checkpoint_train_iou"] > 0.93
+    assert 0.25 <= art["water_fraction"] <= 0.65  # the synthetic shoreline
+    assert art["n_coastlines"] >= 1
+    assert art["predict_scene_bf16_s"] > 0
+    assert art["mpx_per_s_bf16"] > 1.0
+    assert art["int8_vs_bf16_mask_agreement"] >= 0.99
