@@ -474,3 +474,21 @@ def test_quant_arch_for_resolves_every_registry_name():
     assert quant_arch_for("deeplab") == "deeplabv3p"
     assert quant_arch_for("segformer_lite") == "segformer_lite"
     assert quant_arch_for("not_a_model") is None
+
+
+def test_quant_floor_artifact():
+    """The int8 byte-floor artifact (VERDICT r4 item 4): measured HBM
+    traffic vs the minimum-traffic floor (weights once + every conv
+    interface once-out/once-in at serving dtype). The recorded ratio must
+    stay under the 1.3x action threshold — the bytes-level proof that the
+    265 img/s headline is this design's ceiling (scripts/quant_floor.py)."""
+    path = os.path.join(os.path.dirname(ART), "quant_floor.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["n_sites"] >= 50 and art["n_s8_sites"] >= 50
+    # sane floor decomposition: sites dominate, weights are the slim tree
+    assert art["weight_bytes"] < 60 * 2**20
+    assert art["site_bytes_per_image"] > 200 * 2**20
+    assert art["measured"]["total_per_image"] > 0
+    assert art["measured_over_floor"] <= 1.3
+    assert art["measured_over_floor_no_cat"] <= 1.3
