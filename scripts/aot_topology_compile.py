@@ -103,10 +103,13 @@ def aot_compile(size, batch, n_samples, mesh, timing):
         out["cost_flops_g"] = round(float(ca.get("flops", 0)) / 1e9, 1)
     except Exception:
         pass
-    # dataset residency: sharded u8 arrays must cost 1/k per chip
+    # dataset residency: sharded u8 arrays must cost 1/k per chip, where
+    # k is the DATA-axis size (4 on the data=4 x space=2 mesh — the space
+    # axis shards H, not N)
     ds_global_mb = (n_samples * size * size * 4) / 1e6
     out["dataset_global_mb"] = round(ds_global_mb, 2)
-    out["dataset_per_chip_expected_mb"] = round(ds_global_mb / 8, 2)
+    out["dataset_per_chip_expected_mb"] = round(
+        ds_global_mb / int(mesh.shape["data"]), 2)
     return out
 
 

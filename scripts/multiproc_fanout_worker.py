@@ -48,6 +48,13 @@ def main():
         jax.distributed.initialize(
             coordinator_address=f"localhost:{args.port}",
             num_processes=2, process_id=args.pid)
+        # Establish the Gloo context while both processes are still within
+        # seconds of each other: its first-connect window is 30s, and the
+        # big epoch compile (minutes on this 1-vCPU host) would otherwise
+        # desync the processes past it (observed DEADLINE_EXCEEDED).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("coastline_mp_startup")
     assert jax.device_count() == 8, jax.devices()
 
     import jax.numpy as jnp

@@ -628,3 +628,28 @@ def test_int8_scene_sharded_over_data_mesh_bit_identical():
                                           with_band=5, mesh=mesh)
     np.testing.assert_array_equal(ref_mask, got_mask)
     np.testing.assert_array_equal(ref_band, got_band)
+
+
+def test_multichip_512_aot_artifact():
+    """Provenance gate on the chipless AOT topology compile (VERDICT r4
+    item 1): the 512^2 batch-8 bf16 sharded-dataset train epoch COMPILED
+    with the real TPU compiler over a v5e:2x4 topology, per-chip memory
+    recorded and inside HBM, dataset residency = 1/data-axis."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "multichip_512_aot.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["ok"] is True
+    prod = art["production_512"]
+    assert prod["ok"] is True and prod["compile_s"] > 0
+    ma = prod["memory_analysis_per_chip"]
+    assert 0 < ma["total_gb"] < 14.0  # fits a v5e chip with headroom
+    assert ma["temp_size_gb"] > 1.0   # a real training program, not a stub
+    assert prod["cost_flops_g"] > 500
+    # sharded dataset: 1/k per chip, k = data-axis size
+    assert abs(prod["dataset_per_chip_expected_mb"]
+               - prod["dataset_global_mb"] / 4) < 0.05
+    assert art["probe_64"]["ok"] is True
