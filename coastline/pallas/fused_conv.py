@@ -30,22 +30,26 @@ scripts/bench_fused_conv.py gate it. Parity: tests/test_pallas.py
 (interpret mode) + the on-chip check in the bench script.
 
 OUTCOME (2026-08-20, one v5e chip, artifacts/bench_fused_conv.json):
-measured NEGATIVE — 2.5-2.6x SLOWER than XLA's conv+BN+ReLU fusion at
-every band size (B=8: 5.30 ms vs 2.06 ms XLA; compute-only variant with
-the epilogue stripped is unchanged, so the gap is the memory pipeline,
-not the patch matmul). XLA's conv emitter already sustains ~75 TF/s at
-this shape (36 GF in 2.06 ms k-major conv with fused epilogue); the
-Pallas formulation pays (a) the banded-gather materialization
-(+12.5% HBM traffic at band 16), (b) C=64 lane-padded block DMA at
-roughly half bandwidth (the CBAM kernels' measured physics,
-artifacts/diag_cbam_layout.jsonl), and (c) in-VMEM lane-concats at
-64-lane boundaries that Mosaic lowers as vector shifts on the critical
-path. Same conclusion class as the round-3 CBAM epilogue: XLA's native
-conv pipeline + epilogue fusion is already at the achievable roofline
-for dense NHWC convs; Pallas wins on TPU come from data-dependent
-neighborhoods XLA cannot fuse (the dilation kernel), not from re-doing
-convs. The fused-BN-ReLU lever is hereby measured, closing
-docs/STATUS.md's last "untried lever".
+measured NEGATIVE, decisively — 10.67 ms vs XLA's 2.22 ms at the target
+shape (0.21x), with BIT-EXACT on-chip parity (max err 0.0). Mosaic
+accepted the kernel everywhere (both chipless AOT probes pass, the
+64-lane concats lower fine), so this is pure performance physics: XLA's
+conv emitter already sustains 69.7 TF/s (~35% MXU peak — near the
+bandwidth-coupled limit for this shape) with the BN+ReLU epilogue fused,
+while the Pallas formulation reaches 14.5 TF/s — the C=64 lane-padded
+block DMA at half bandwidth (the CBAM kernels' measured physics,
+artifacts/diag_cbam_layout.jsonl) plus in-VMEM lane-concats at 64-lane
+sub-register boundaries put 4.8x of overhead on the critical path, far
+more than the K=576 MXU-packing hypothesis could win back (the
+hypothesis itself was wrong: 69.7 TF/s shows XLA does NOT pad this
+contraction to half utilization). Same conclusion class as the round-3
+CBAM epilogue negative: XLA's native conv pipeline + epilogue fusion is
+at the achievable roofline for dense NHWC convs; Pallas wins on TPU
+come from data-dependent neighborhoods XLA cannot fuse (the dilation
+kernel, 55-529x), not from re-implementing convolutions. This closes
+docs/STATUS.md's last "untried lever": every single-chip performance
+lever is now measured, and 36 img/s train / 166 bf16 / 265 int8 img/s
+stand as the design's measured operating points.
 """
 
 import functools

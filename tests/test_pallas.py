@@ -293,3 +293,43 @@ def test_cbam_lane_pack_factors():
     assert _lane_pack(96, 512) == 1    # 128 % 96 != 0 -> no packing
     assert _lane_pack(64, 6) == 2      # k clipped to divide W
     assert _lane_pack(64, 5) == 1
+
+
+def test_fused_conv3x3_bn_relu_interpret_parity():
+    """Round-5 fused conv+BN+ReLU experiment kernel (pallas/fused_conv.py):
+    interpret-mode output must match XLA's conv+epilogue bit-for-bit up to
+    bf16 rounding, including the W edges (the in-kernel halo columns) and
+    band seams."""
+    from jax import lax
+
+    from coastline.pallas.fused_conv import fused_conv3x3_bn_relu, supported
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 16, 128, 64
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.05, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(C) * 0.1 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+
+    ref = lax.conv_general_dilated(
+        x, w.astype(jnp.bfloat16), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    ref = jnp.maximum(ref * scale + bias, 0).astype(jnp.bfloat16)
+    got = fused_conv3x3_bn_relu(x, w, scale, bias, interpret=True)
+    d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+    assert d.max() < 0.15 and d.mean() < 1e-3, (d.max(), d.mean())
+
+    # no-relu path (plain conv + affine)
+    got2 = fused_conv3x3_bn_relu(x, w, scale, bias, relu=False,
+                                 interpret=True)
+    ref2 = lax.conv_general_dilated(
+        x, w.astype(jnp.bfloat16), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    ref2 = (ref2 * scale + bias).astype(jnp.bfloat16)
+    d2 = np.abs(np.asarray(ref2, np.float32) - np.asarray(got2, np.float32))
+    assert d2.max() < 0.15, d2.max()
+
+    assert supported(512, 512, 64, 64)
+    assert not supported(512, 512, 128, 128)  # scoped to the C=64 class
