@@ -653,3 +653,21 @@ def test_multichip_512_aot_artifact():
     assert abs(prod["dataset_per_chip_expected_mb"]
                - prod["dataset_global_mb"] / 4) < 0.05
     assert art["probe_64"]["ok"] is True
+
+
+def test_multichip_aot_extra_artifact():
+    """Provenance gate on the round-5 extra topology certs: pure-DP data=8
+    512^2 training and the int8 B=80 batch-sharded serving graph both
+    compile with the real TPU compiler and fit per-chip HBM."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "multichip_aot_extra.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["ok"] is True
+    for tag in ("dp8_train_512", "int8_serve_b80_dp8"):
+        row = art[tag]
+        assert row["ok"] is True and row["compile_s"] > 0, tag
+        assert 0 < row["memory_analysis_per_chip"]["total_gb"] < 14.0, tag
