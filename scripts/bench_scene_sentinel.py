@@ -27,12 +27,14 @@ SIZE = 10980  # one Sentinel-2 granule at 10 m bands
 DILATION = 20
 
 
-def build_granule(size: int) -> np.ndarray:
+def build_granule(size: int):
     """A synthetic coastal granule at full Sentinel-2 resolution.
 
     One smooth sinusoidal shoreline across the full width, water below,
     textured land above — numpy-only so a 120-Mpx scene assembles in
-    seconds on this container's single CPU.
+    seconds on this container's single CPU. Returns (image, analytic
+    ground-truth water mask) so the benchmark can report granule-scale
+    accuracy, not just throughput.
     """
     xs = np.arange(size, dtype=np.float32)
     shoreline = (0.55 * size
@@ -52,12 +54,12 @@ def build_granule(size: int) -> np.ndarray:
         chan = np.where(water, float(water_base), land)
         chan += rng.normal(0, 6, (size, size))
         img[..., c] = np.clip(chan, 0, 255).astype(np.uint8)
-    return img
+    return img, water
 
 
 def main():
     t0 = time.perf_counter()
-    scene = build_granule(SIZE)
+    scene, gt_water = build_granule(SIZE)
     t_build = time.perf_counter() - t0
     print(f"granule built: {scene.shape} in {t_build:.1f}s", flush=True)
 
@@ -132,6 +134,11 @@ def main():
         "checkpoint": ckpt.name if variables is not None else None,
         "checkpoint_train_iou": (round(train_iou, 5) if train_iou else None),
         "water_fraction": round(float(mask.mean()), 4),
+        # granule-scale accuracy vs the analytic shoreline (not just
+        # throughput): 120.6 Mpx mask IoU against ground truth
+        "granule_iou_vs_ground_truth": round(float(
+            np.logical_and(mask > 0, gt_water).sum()
+            / max(1, np.logical_or(mask > 0, gt_water).sum())), 5),
         "predict_scene_bf16_s": round(t_scene, 2),
         "predict_scene_bf16_device_resident_s": round(t_scene_dev, 2),
         "predict_scene_int8_device_resident_s": round(t_scene_q, 2),

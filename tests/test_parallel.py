@@ -671,3 +671,24 @@ def test_multichip_aot_extra_artifact():
         row = art[tag]
         assert row["ok"] is True and row["compile_s"] > 0, tag
         assert 0 < row["memory_analysis_per_chip"]["total_gb"] < 14.0, tag
+
+
+def test_cpu_compile_curve_artifact():
+    """Round-5 XLA-CPU scaling curve: compile time is flat with shape
+    (the GSPMD partitioner is not the bottleneck), execution dominates —
+    reframing the round-4 512^2 CPU 'compile timeout'."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "cpu_compile_curve.json")
+    with open(path) as f:
+        art = json.load(f)
+    pts = {p["size"]: p for p in art["points"] if p.get("ok")}
+    assert {64, 128, 256} <= set(pts)
+    compiles = [pts[s]["compile_s"] for s in (64, 128, 256)]
+    # flat compile: no point more than 2x any other
+    assert max(compiles) / min(compiles) < 2.0, compiles
+    # execution grows superlinearly while compile does not
+    assert pts[256]["run_s"] > 4 * pts[128]["run_s"] > 4 * pts[64]["run_s"]
+    assert all(p["loss"] > 0 for p in pts.values())
