@@ -628,6 +628,9 @@ def test_scene_sentinel_artifact():
     assert art["checkpoint"] is not None
     assert art["checkpoint_train_iou"] and art["checkpoint_train_iou"] > 0.93
     assert 0.25 <= art["water_fraction"] <= 0.65  # the synthetic shoreline
+    # accuracy at granule scale, not just throughput: 120.6 Mpx mask IoU
+    # against the analytic shoreline (measured 0.99998)
+    assert art["granule_iou_vs_ground_truth"] >= 0.99
     assert art["n_coastlines"] >= 1
     assert art["predict_scene_bf16_s"] > 0
     assert art["mpx_per_s_bf16"] > 1.0
